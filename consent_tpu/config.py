@@ -1,0 +1,112 @@
+"""Pipeline configuration.
+
+One dataclass with two presets mirroring the reference's *effective*
+defaults — the bash drivers override the binary defaults, and the scripts
+are the source of truth (reference: CONSENT-correct:42-52 vs
+src/main.cpp:17-26; CONSENT-polish:42-52).
+
+Notable discrepancies preserved here (documented in SURVEY.md §5):
+  * correct: minSupport=3, maxSupport=150 (script) — binary says 1000.
+  * polish:  minSupport=1, maxSupport=20000.
+  * minAnchors: script passes 2, binary default is 10 — effective is 2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ConsentConfig:
+    """All tunables of the correction/polishing pipeline."""
+
+    # --- reference-equivalent knobs (CONSENT-correct:42-52) ---
+    min_support: int = 3          # min coverage for a window (-s)
+    max_support: int = 150        # max overlaps kept per pile (-S)
+    max_msa: int = 150            # max sequences entering consensus (-M)
+    window_size: int = 500        # template window length (-l)
+    mer_size: int = 9             # k for counting/anchoring/polish (-k)
+    common_kmers: int = 8         # anchor support threshold (-c)
+    min_anchors: int = 2          # min anchors to attempt consensus (-A)
+    solid_thresh: int = 4         # k-mer solidity threshold (-f)
+    window_overlap: int = 50      # overlap of consecutive windows (-m)
+
+    # --- trimming behavior (reference: CONSENT-correction.cpp:17 vs
+    #     CONSENT-polishing.cpp:19; -R proofFile disables trimming) ---
+    trim: bool = True
+
+    # --- DBG polish budgets (reference: correctionDBG.cpp:100-102,163) ---
+    max_branches: int = 50
+    dbg_zone: int = 3
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # Fragment slots per window on device; piles deeper than this keep the
+    # best `msa_depth` fragments by overlap matches.
+    msa_depth: int = 64
+    # Extra bases a clipped fragment may carry beyond window_size
+    # (target-side insertions make fragments slightly longer).
+    frag_slack: int = 140
+    # Windows per device batch.
+    batch_windows: int = 32
+    # Alignment scoring (stitch mirrors the reference's SSW defaults:
+    # match=2, mismatch=-2, gap_open=3, gap_extend=1; reference:
+    # correctionAlignment.cpp:48 StripedSmithWaterman::Aligner()).
+    match_score: int = 2
+    mismatch_score: int = -4
+    gap_open: int = 4
+    gap_extend: int = 2
+    # Consensus refinement rounds (realign fragments to round-1 consensus).
+    consensus_rounds: int = 2
+    # Min plurality coverage for a consensus column to override template.
+    min_column_support: int = 2
+
+    # --- runtime ---
+    n_devices: Optional[int] = None   # None = all local devices
+    seed: int = 0
+
+    @property
+    def frag_len(self) -> int:
+        """Fixed device-side fragment length (window + slack)."""
+        return self.window_size + self.frag_slack
+
+    @property
+    def n_kmers(self) -> int:
+        return 4 ** self.mer_size
+
+    def validate(self) -> "ConsentConfig":
+        if self.window_overlap >= self.window_size:
+            raise ValueError("window_overlap must be < window_size")
+        if self.mer_size < 2 or self.mer_size > 15:
+            raise ValueError("mer_size must be in [2, 15]")
+        if self.min_support < 1:
+            raise ValueError("min_support must be >= 1")
+        return self
+
+
+def correct_preset(**overrides) -> ConsentConfig:
+    """Self-correction defaults (reference: CONSENT-correct:42-52)."""
+    return dataclasses.replace(
+        ConsentConfig(
+            min_support=3,
+            max_support=150,
+            trim=True,
+        ),
+        **overrides,
+    ).validate()
+
+
+def polish_preset(**overrides) -> ConsentConfig:
+    """Assembly-polishing defaults (reference: CONSENT-polish:42-52).
+
+    Contigs are never trimmed/dropped (reference:
+    CONSENT-polishing.cpp:19 doTrimRead=false).
+    """
+    return dataclasses.replace(
+        ConsentConfig(
+            min_support=1,
+            max_support=20000,
+            trim=False,
+        ),
+        **overrides,
+    ).validate()
