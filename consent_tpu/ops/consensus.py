@@ -1,0 +1,272 @@
+"""Realign-vote window consensus (device side).
+
+TPU-native replacement for the reference's per-window MSABMAAC call
+(BMEAN anchor-chained SPOA partial-order alignment, reference:
+src/correctionMSA.cpp:29-49).  Instead of building a partial-order
+graph, every fragment of a window is locally aligned to the window
+template in one fixed-shape batch (ops/align.py), and the consensus is
+read off per-column vote tallies of the match posterior:
+
+  * substitution votes: fragments matched at template column j vote
+    their aligned base,
+  * deletion votes: fragments whose alignment span covers j without
+    matching it vote to delete the column,
+  * insertion votes: fragment bases falling between matches to
+    consecutive matched columns vote, offset by offset, to extend an
+    insertion after the left column (majority-of-covering rule).
+
+Columns with fewer than `min_column_support` covering fragments keep
+the template base — mirroring the reference's fallback to the raw
+template when the MSA gives up (src/correctionMSA.cpp:34-36 returns
+piles[0] when BMEAN returns nothing).
+
+All tensors are fixed-shape [B windows, S fragment slots, ...]; ragged
+piles are padded with zero-length fragments that vote for nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from consent_tpu.ops import align as align_ops
+
+INS_CAP = 16  # max insertion bases tracked per column boundary
+
+
+class WindowVotes(NamedTuple):
+    """Per-window consensus description, all device arrays."""
+
+    col_base: jnp.ndarray   # [B, W] int8: consensus base per template column
+    col_del: jnp.ndarray    # [B, W] bool: column deleted
+    ins_len: jnp.ndarray    # [B, W] int32: insertion length after column j
+    ins_base: jnp.ndarray   # [B, W, INS_CAP] int8: insertion bases
+    coverage: jnp.ndarray   # [B, W] int32: fragments covering each column
+    n_matched: jnp.ndarray  # [B, W] int32: fragments matched at each column
+    pre_len: jnp.ndarray    # [B] int32: insertion length before column 0
+    pre_base: jnp.ndarray   # [B, INS_CAP] int8 (offset 0 = adjacent to col 0)
+    suf_len: jnp.ndarray    # [B] int32: insertion length after the last column
+    suf_base: jnp.ndarray   # [B, INS_CAP] int8 (offset 0 = adjacent to last col)
+
+
+def _nearest_valid_right(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per row, at each j: vals at the nearest valid column strictly to
+    the right (-1 if none).  vals/valid: [..., W]."""
+    x = jnp.where(valid, vals, -1)
+
+    def op(a, b):
+        return jnp.where(b == -1, a, b)
+
+    at_or_after = jax.lax.associative_scan(op, x[..., ::-1], axis=-1)[..., ::-1]
+    after = jnp.concatenate(
+        [at_or_after[..., 1:], jnp.full_like(at_or_after[..., :1], -1)], axis=-1
+    )
+    return after
+
+
+@functools.partial(jax.jit, static_argnames=("S", "min_column_support"))
+def consensus_votes(
+    frags: jnp.ndarray,      # [B, S, Lf] uint8 codes
+    frag_len: jnp.ndarray,   # [B, S] int32 (0 = empty slot)
+    tpl: jnp.ndarray,        # [B, W] uint8
+    tpl_len: jnp.ndarray,    # [B] int32 (== W normally)
+    *,
+    S: int,
+    min_column_support: int = 2,
+    scoring: align_ops.Scoring = align_ops.Scoring(),
+) -> WindowVotes:
+    B, S_, Lf = frags.shape
+    assert S_ == S
+    W = tpl.shape[1]
+
+    q = frags.reshape(B * S, Lf)
+    q_len = frag_len.reshape(B * S)
+    r = jnp.repeat(tpl, S, axis=0)
+    r_len = jnp.repeat(tpl_len, S)
+
+    post = align_ops.posterior_align(q, q_len, r, r_len, scoring)
+    m = post.match_mask                                  # [N, Lf, W]
+    N = B * S
+
+    qi = jnp.arange(Lf)[None, :, None]
+    big = Lf + W + 10
+    matched = m.any(axis=1)                              # [N, W]
+    i_first = jnp.min(jnp.where(m, qi, big), axis=1)     # [N, W]
+    i_last = jnp.max(jnp.where(m, qi, -1), axis=1)       # [N, W]
+
+    # aligned base per column: the last matched query row's base
+    base = jnp.take_along_axis(
+        q.astype(jnp.int32), jnp.clip(i_last, 0, Lf - 1), axis=1
+    )                                                    # [N, W]
+
+    # coverage span of each fragment on the template
+    rj = jnp.arange(W)[None, :]
+    r_begin = jnp.min(jnp.where(matched, rj, big), axis=1, keepdims=True)
+    r_end = jnp.max(jnp.where(matched, rj, -1), axis=1, keepdims=True)
+    cover = (rj >= r_begin) & (rj <= r_end)              # [N, W]
+
+    # insertions between consecutive matched columns
+    nxt_first = _nearest_valid_right(i_first, matched)   # [N, W]
+    has_bnd = matched & (nxt_first >= 0)
+    ins_count = jnp.where(has_bnd, nxt_first - i_last - 1, 0)
+    ins_count = jnp.clip(ins_count, 0, INS_CAP)
+
+    # gather up to INS_CAP inserted bases per boundary
+    k = jnp.arange(INS_CAP)[None, None, :]
+    gidx = jnp.clip(i_last[:, :, None] + 1 + k, 0, Lf - 1)   # [N, W, K]
+    ins_codes = jnp.take_along_axis(
+        jnp.broadcast_to(q.astype(jnp.int32)[:, None, :], (N, W, Lf)),
+        gidx,
+        axis=2,
+    )
+    ins_valid = k < ins_count[:, :, None]                # [N, W, K]
+
+    # ---- reduce over fragment slots per window ----
+    def red(x):
+        return x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+
+    onehot = (base[:, :, None] == jnp.arange(4)[None, None, :]) & matched[
+        :, :, None
+    ]
+    votes_base = red(onehot.astype(jnp.int32))           # [B, W, 4]
+    votes_del = red((cover & ~matched).astype(jnp.int32))  # [B, W]
+    coverage = red(cover.astype(jnp.int32))              # [B, W]
+    n_matched = red(matched.astype(jnp.int32))           # [B, W]
+
+    cand = jnp.concatenate([votes_base, votes_del[:, :, None]], axis=2)
+    winner = jnp.argmax(cand, axis=2)                    # [B, W]; 4 == delete
+    keep_tpl = coverage < min_column_support
+    col_base = jnp.where(
+        keep_tpl | (winner == 4), tpl.astype(jnp.int32), winner
+    ).astype(jnp.int8)
+    col_del = (winner == 4) & ~keep_tpl
+
+    # ---- insertion majority per boundary ----
+    votes_bnd = red(has_bnd.astype(jnp.int32))           # [B, W]
+    more = red((ins_count[:, :, None] > k).astype(jnp.int32))  # [B, W, K]
+    stop = votes_bnd[:, :, None] - more
+    extend = more > stop                                 # strict majority
+    ins_len = jnp.cumprod(extend.astype(jnp.int32), axis=2).sum(axis=2)
+
+    ins_onehot = (
+        (ins_codes[:, :, :, None] == jnp.arange(4)[None, None, None, :])
+        & ins_valid[:, :, :, None]
+    )
+    ins_votes = red(ins_onehot.astype(jnp.int32))        # [B, W, K, 4]
+    ins_base = jnp.argmax(ins_votes, axis=3).astype(jnp.int8)
+
+    # ---- window-edge insertions ----
+    # Fragments matched at template column 0 vote their unmatched leading
+    # bases as an insertion before the window; symmetric for the last
+    # real column.  Offsets count outward from the window edge.
+    kk = jnp.arange(INS_CAP)[None, :]                    # [1, K]
+
+    pre_valid = matched[:, 0]                            # [N]
+    pre_cnt = jnp.where(pre_valid, jnp.clip(i_first[:, 0], 0, INS_CAP), 0)
+    pre_idx = jnp.clip(i_first[:, 0:1] - 1 - kk, 0, Lf - 1)       # [N, K]
+    pre_codes = jnp.take_along_axis(q.astype(jnp.int32), pre_idx, axis=1)
+    pre_ok = kk < pre_cnt[:, None]
+    pre_len, pre_base = _edge_majority(
+        pre_valid, pre_cnt, pre_codes, pre_ok, B, S
+    )
+
+    last_col = jnp.clip(r_len - 1, 0, W - 1)             # [N]
+    m_last = jnp.take_along_axis(matched, last_col[:, None], axis=1)[:, 0]
+    il_last = jnp.take_along_axis(i_last, last_col[:, None], axis=1)[:, 0]
+    suf_valid = m_last
+    suf_cnt = jnp.where(
+        suf_valid, jnp.clip(q_len - 1 - il_last, 0, INS_CAP), 0
+    )
+    suf_idx = jnp.clip(il_last[:, None] + 1 + kk, 0, Lf - 1)
+    suf_codes = jnp.take_along_axis(q.astype(jnp.int32), suf_idx, axis=1)
+    suf_ok = kk < suf_cnt[:, None]
+    suf_len, suf_base = _edge_majority(
+        suf_valid, suf_cnt, suf_codes, suf_ok, B, S
+    )
+
+    return WindowVotes(
+        col_base=col_base,
+        col_del=col_del,
+        ins_len=ins_len,
+        ins_base=ins_base,
+        coverage=coverage,
+        n_matched=n_matched,
+        pre_len=pre_len,
+        pre_base=pre_base,
+        suf_len=suf_len,
+        suf_base=suf_base,
+    )
+
+
+def _edge_majority(valid, cnt, codes, ok, B, S):
+    """Majority insertion vote at a window edge.
+
+    valid/cnt: [N]; codes/ok: [N, K].  Returns ([B], [B, K])."""
+    K = codes.shape[1]
+    kk = jnp.arange(K)[None, :]
+
+    def red(x):
+        return x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+
+    n_valid = red(valid.astype(jnp.int32))                        # [B]
+    more = red((cnt[:, None] > kk).astype(jnp.int32))             # [B, K]
+    stop = n_valid[:, None] - more
+    extend = more > stop
+    length = jnp.cumprod(extend.astype(jnp.int32), axis=1).sum(axis=1)
+    onehot = (codes[:, :, None] == jnp.arange(4)[None, None, :]) & ok[:, :, None]
+    votes = red(onehot.astype(jnp.int32))                         # [B, K, 4]
+    base = jnp.argmax(votes, axis=2).astype(jnp.int8)
+    return length, base
+
+
+def assemble_consensus_batch(votes: WindowVotes, w_lens) -> list:
+    """Host: flatten each window's vote arrays into a consensus code
+    array (uint8).  Layout: prefix insertion (outermost offset first),
+    then per column j: base (unless deleted) followed by the insertion
+    after j, then the suffix insertion."""
+    col_base = np.asarray(votes.col_base)
+    col_del = np.asarray(votes.col_del)
+    ins_len = np.asarray(votes.ins_len)
+    ins_base = np.asarray(votes.ins_base)
+    pre_len = np.asarray(votes.pre_len)
+    pre_base = np.asarray(votes.pre_base)
+    suf_len = np.asarray(votes.suf_len)
+    suf_base = np.asarray(votes.suf_base)
+    out = []
+    for b, w_len in enumerate(w_lens):
+        cb = col_base[b, :w_len].astype(np.uint8)
+        cd = col_del[b, :w_len]
+        il = ins_len[b, :w_len]
+        ib = ins_base[b, :w_len]
+        # Expanded buffer: each column contributes (1 - del) + ins_len.
+        counts = (~cd).astype(np.int64) + il
+        total = int(counts.sum())
+        buf = np.empty(total, dtype=np.uint8)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        keep = ~cd
+        buf[starts[keep]] = cb[keep]
+        for j in np.flatnonzero(il > 0):
+            s = starts[j] + (0 if cd[j] else 1)
+            buf[s : s + il[j]] = ib[j, : il[j]]
+        parts = []
+        if pre_len[b]:
+            # offsets count outward from column 0 -> reverse for output
+            parts.append(pre_base[b, : pre_len[b]][::-1].astype(np.uint8))
+        parts.append(buf)
+        if suf_len[b]:
+            parts.append(suf_base[b, : suf_len[b]].astype(np.uint8))
+        out.append(np.concatenate(parts))
+    return out
+
+
+def assemble_consensus(votes: WindowVotes, window_idx: int, w_len: int) -> np.ndarray:
+    """Host: assemble a single window (convenience wrapper)."""
+    return assemble_consensus_batch(
+        WindowVotes(*[np.asarray(x)[window_idx : window_idx + 1] for x in votes]),
+        [w_len],
+    )[0]

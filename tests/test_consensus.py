@@ -1,0 +1,148 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from consent_tpu.io import seqs
+from consent_tpu.ops import consensus as cons_ops
+from consent_tpu.ops import kmer as kmer_ops
+
+
+def make_batch(windows, S, Lf, W):
+    """windows: list of (template_str, [frag_str, ...])."""
+    B = len(windows)
+    frags = np.zeros((B, S, Lf), dtype=np.uint8)
+    frag_len = np.zeros((B, S), dtype=np.int32)
+    tpl = np.zeros((B, W), dtype=np.uint8)
+    tpl_len = np.zeros(B, dtype=np.int32)
+    for b, (t, fs) in enumerate(windows):
+        tc = seqs.encode(t)
+        tpl[b, : len(tc)] = tc
+        tpl_len[b] = len(tc)
+        for s, fstr in enumerate(fs[:S]):
+            fc = seqs.encode(fstr)
+            frags[b, s, : len(fc)] = fc
+            frag_len[b, s] = len(fc)
+    return (
+        jnp.array(frags),
+        jnp.array(frag_len),
+        jnp.array(tpl),
+        jnp.array(tpl_len),
+    )
+
+
+def run_consensus(tpl_str, frag_strs, S=8, Lf=64, W=48, min_support=2):
+    frags, fl, tpl, tl = make_batch([(tpl_str, frag_strs)], S, Lf, W)
+    votes = cons_ops.consensus_votes(
+        frags, fl, tpl, tl, S=S, min_column_support=min_support
+    )
+    codes = cons_ops.assemble_consensus_batch(votes, [len(tpl_str)])[0]
+    return seqs.decode(codes)
+
+
+def test_identical_fragments_reproduce_template():
+    t = "ACGTTGCAACGGTTAACC"
+    out = run_consensus(t, [t, t, t])
+    assert out == t
+
+
+def test_substitution_corrected_by_majority():
+    true = "ACGTTGCAACGGTTAACC"
+    tpl = true[:8] + "T" + true[9:]  # one error in template
+    out = run_consensus(tpl, [tpl] + [true] * 3)
+    assert out == true
+
+
+def test_deletion_in_template_restored():
+    true = "ACGTTGCAACGGTTAACC"
+    tpl = true[:9] + true[10:]  # template missing base 9
+    out = run_consensus(tpl, [tpl] + [true] * 3)
+    assert out == true
+
+
+def test_insertion_in_template_removed():
+    true = "ACGTTGCAACGGTTAACC"
+    tpl = true[:9] + "GG" + true[9:]  # template has 2 extra bases
+    out = run_consensus(tpl, [tpl] + [true] * 3)
+    assert out == true
+
+
+def test_low_coverage_keeps_template():
+    tpl = "ACGTTGCAACGGTTAACC"
+    out = run_consensus(tpl, [tpl], min_support=2)
+    assert out == tpl
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_noisy_fragments_recover_truth(seed):
+    rng = np.random.default_rng(seed)
+    n = 40
+    true_codes = rng.integers(0, 4, n).astype(np.uint8)
+    true = seqs.decode(true_codes)
+
+    def noisy(rate=0.12):
+        out = []
+        for b in true_codes:
+            p = rng.random()
+            if p < rate / 3:
+                continue
+            elif p < 2 * rate / 3:
+                out.append(int(rng.integers(0, 4)))
+            elif p < rate:
+                out.extend([int(b), int(rng.integers(0, 4))])
+            else:
+                out.append(int(b))
+        return seqs.decode(np.array(out, dtype=np.uint8))
+
+    tpl = noisy()
+    frags = [tpl] + [noisy() for _ in range(9)]
+    out = run_consensus(tpl, frags, S=10, Lf=64, W=len(tpl))
+
+    def ident(a, b):
+        from difflib import SequenceMatcher
+
+        return SequenceMatcher(None, a, b).ratio()
+
+    assert ident(out, true) > ident(tpl, true) or out == true
+    assert ident(out, true) > 0.95
+
+
+def test_count_kmers_device_matches_host():
+    rng = np.random.default_rng(3)
+    B, S, L, k = 2, 3, 20, 4
+    frags = rng.integers(0, 4, (B, S, L)).astype(np.uint8)
+    frag_len = np.array([[20, 13, 0], [20, 20, 3]], dtype=np.int32)
+    dev = np.asarray(
+        kmer_ops.count_kmers_device(jnp.array(frags), jnp.array(frag_len), k=k)
+    )
+    for b in range(B):
+        host = kmer_ops.count_kmers_host(
+            [frags[b, s, : frag_len[b, s]] for s in range(S)], k
+        )
+        assert np.array_equal(dev[b], host), f"window {b}"
+
+
+def test_solidity_mask_last_kmer_rule():
+    # L=6, k=3: mask[p] = solid(kmer starting at min(p, 3))
+    cons = seqs.encode("ACGTAC")
+    counts = np.zeros(64, dtype=np.int32)
+    ks = seqs.kmer_codes(cons, 3)
+    counts[ks[0]] = 5   # ACG solid
+    counts[ks[3]] = 5   # TAC solid
+    mask = kmer_ops.solidity_mask(cons, counts, 3, solid_thresh=4)
+    # p=0 -> kmer@0 solid; p=1,2 -> kmers @1,@2 weak; p=3,4,5 -> kmer@3 solid
+    assert mask.tolist() == [True, False, False, True, True, True]
+
+
+def test_template_missing_leading_base_restored():
+    true = "ACGTTGCAACGGTTAACC"
+    tpl = true[2:]  # template lost its first two bases
+    out = run_consensus(tpl, [tpl] + [true] * 3)
+    assert out == true
+
+
+def test_template_missing_trailing_base_restored():
+    true = "ACGTTGCAACGGTTAACC"
+    tpl = true[:-2]  # template lost its last two bases
+    out = run_consensus(tpl, [tpl] + [true] * 3)
+    assert out == true
