@@ -68,7 +68,9 @@ def _nearest_valid_right(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return after
 
 
-@functools.partial(jax.jit, static_argnames=("S", "min_column_support"))
+@functools.partial(
+    jax.jit, static_argnames=("S", "min_column_support", "scoring")
+)
 def consensus_votes(
     frags: jnp.ndarray,      # [B, S, Lf] uint8 codes
     frag_len: jnp.ndarray,   # [B, S] int32 (0 = empty slot)

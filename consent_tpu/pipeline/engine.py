@@ -1,0 +1,259 @@
+"""The per-read processing engine.
+
+Orchestrates the full per-pile chain of the reference drivers
+(processRead, src/CONSENT-correction.cpp:19-60 / processContig,
+src/CONSENT-polishing.cpp:21-105):
+
+  pile -> window positions -> fragment clipping -> [device] batched
+  realign-vote consensus -> k-mer weighting -> DBG polish -> [device]
+  batched stitch -> trim/drop.
+
+Parallelism model (replaces the reference's CTPL thread pool): windows
+from *many* reads are pooled and bucketed by fragment count into
+fixed-shape device batches; stitching runs reads in lockstep rounds
+(pipeline/stitch.py).  Everything is deterministic: results are emitted
+in input pile order, matching the reference's future-ring ordering
+(CONSENT-correction.cpp:96-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from consent_tpu.config import ConsentConfig
+from consent_tpu.core import dbg as dbg_mod
+from consent_tpu.core import postprocess, windows as win_mod
+from consent_tpu.core.sparse_counts import SparseCounts
+from consent_tpu.io import seqs
+from consent_tpu.io.paf import Pile
+from consent_tpu.ops import consensus as cons_ops
+from consent_tpu.ops import kmer as kmer_ops
+from consent_tpu.ops.align import Scoring
+from consent_tpu.pipeline import stitch as stitch_mod
+
+S_BUCKETS = (4, 8, 16, 32, 64, 96, 152)
+MAX_LANES = 512       # B*S cap per device consensus call
+
+
+@dataclasses.dataclass
+class WindowTask:
+    """One window of one read, from clipping to polished consensus."""
+
+    read_key: int
+    window_idx: int
+    pos: Tuple[int, int]
+    frags: List[np.ndarray]          # template first
+    # filled by the engine:
+    consensus: Optional[np.ndarray] = None
+    solid: Optional[np.ndarray] = None
+    counts: Optional[SparseCounts] = None
+
+
+def _bucket_for(n: int, cap: int) -> int:
+    for b in S_BUCKETS:
+        if n <= b:
+            return min(b, cap) if cap >= n else cap
+    return cap
+
+
+class ConsensusEngine:
+    """Batched window-consensus executor."""
+
+    def __init__(self, cfg: ConsentConfig):
+        self.cfg = cfg
+        self.scoring = Scoring(
+            match=cfg.match_score,
+            mismatch=cfg.mismatch_score,
+            gap_open=cfg.gap_open,
+            gap_extend=cfg.gap_extend,
+        )
+        # fragment slots cap: template + maxMSA support fragments
+        self.s_cap = S_BUCKETS[-1]
+        self.Lf = self._round128(cfg.window_size)
+        self.Lt = self._round128(cfg.window_size + cfg.frag_slack)
+
+    @staticmethod
+    def _round128(x: int) -> int:
+        return (x + 127) // 128 * 128
+
+    def run(self, tasks: Sequence[WindowTask]) -> None:
+        """Compute consensus + counts + DBG polish for every task."""
+        buckets: Dict[int, List[WindowTask]] = {}
+        for t in tasks:
+            n = min(len(t.frags), self.cfg.max_msa + 1)
+            if n == 0 or len(t.frags[0]) == 0:
+                t.consensus = np.empty(0, np.uint8)
+                t.solid = np.empty(0, bool)
+                t.counts = SparseCounts.from_dense(
+                    np.zeros(1, np.int32))
+                continue
+            b = _bucket_for(n, self.s_cap)
+            buckets.setdefault(b, []).append(t)
+
+        for S, ts in buckets.items():
+            max_b = max(1, MAX_LANES // S)
+            for lo in range(0, len(ts), max_b):
+                self._run_batch(ts[lo : lo + max_b], S)
+
+    def _run_batch(self, ts: List[WindowTask], S: int) -> None:
+        cfg = self.cfg
+        B = len(ts)
+        frags = np.zeros((B, S, self.Lf), dtype=np.uint8)
+        frag_len = np.zeros((B, S), dtype=np.int32)
+        tpl = np.zeros((B, self.Lt), dtype=np.uint8)
+        tpl_len = np.zeros(B, dtype=np.int32)
+        for b, t in enumerate(ts):
+            use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+            for s, f in enumerate(use):
+                L = min(len(f), self.Lf)
+                frags[b, s, :L] = f[:L]
+                frag_len[b, s] = L
+            tp = t.frags[0]
+            tpl[b, : len(tp)] = tp
+            tpl_len[b] = len(tp)
+
+        frags_d = jnp.asarray(frags)
+        flen_d = jnp.asarray(frag_len)
+        cur_tpl, cur_tlen = tpl, tpl_len
+
+        for _ in range(max(1, cfg.consensus_rounds)):
+            votes = cons_ops.consensus_votes(
+                frags_d,
+                flen_d,
+                jnp.asarray(cur_tpl),
+                jnp.asarray(cur_tlen),
+                S=S,
+                min_column_support=cfg.min_column_support,
+                scoring=self.scoring,
+            )
+            cons_list = cons_ops.assemble_consensus_batch(
+                votes, cur_tlen.tolist()
+            )
+            # next round: consensus becomes the template
+            cur_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
+            cur_tlen = np.zeros(B, dtype=np.int32)
+            for b, c in enumerate(cons_list):
+                L = min(len(c), self.Lt)
+                cur_tpl[b, :L] = c[:L]
+                cur_tlen[b] = L
+
+        # host post-processing: counts, weighting, DBG polish
+        for b, t in enumerate(ts):
+            cons = cons_list[b][: self.Lt]
+            use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+            dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
+            if len(cons) >= cfg.mer_size:
+                solid = kmer_ops.solidity_mask(
+                    cons, dense, cfg.mer_size, cfg.solid_thresh
+                )
+                cons, solid = dbg_mod.polish_correction(
+                    cons, solid, dense, cfg.mer_size, cfg.solid_thresh
+                )
+            else:
+                # too short for weighting: reference skips weighting and
+                # polish (correctionMSA.cpp:43-46); keep as weak
+                solid = np.zeros(len(cons), dtype=bool)
+            t.consensus = cons
+            t.solid = solid
+            t.counts = SparseCounts.from_dense(dense)
+
+
+def windows_of_pile(pile: Pile, read_index, cfg: ConsentConfig,
+                    read_key: int) -> Optional[List[WindowTask]]:
+    """Window positions + clipped fragments for one pile; None when the
+    pile yields no window (the reference silently drops such
+    reads/contigs — processRead returns "", CONSENT-correction.cpp:23-25)."""
+    seq_map = win_mod.sequences_map(pile, read_index)
+    q_len = len(seq_map[pile.q_name])
+    cov = win_mod.coverage(q_len, pile.ov)
+    pos = win_mod.window_positions(
+        q_len, cov, cfg.min_support, cfg.window_size, cfg.window_overlap
+    )
+    if not pos:
+        return None
+    tasks = []
+    for w_idx, (beg, end) in enumerate(pos):
+        frags = win_mod.clip_fragments(
+            pile, seq_map, beg, end, cfg.mer_size
+        )
+        tasks.append(
+            WindowTask(read_key=read_key, window_idx=w_idx,
+                       pos=(beg, end), frags=frags)
+        )
+    return tasks
+
+
+def process_piles(
+    piles: Iterable[Pile],
+    read_index,
+    cfg: ConsentConfig,
+    batch_align=None,
+    chunk_reads: int = 64,
+) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
+    """Full pipeline over a pile stream.
+
+    Yields (name, codes, solid) per input pile, in order; dropped
+    reads yield empty arrays (the caller skips empty output, as the
+    reference does at CONSENT-correction.cpp:101-103).
+    """
+    if batch_align is None:
+        from consent_tpu.pipeline.device_align import device_batch_align
+        batch_align = device_batch_align
+    engine = ConsensusEngine(cfg)
+
+    chunk: List[Pile] = []
+
+    def flush(chunk: List[Pile]):
+        all_tasks: List[WindowTask] = []
+        per_read: List[Optional[List[WindowTask]]] = []
+        for key, pile in enumerate(chunk):
+            tasks = windows_of_pile(pile, read_index, cfg, key)
+            per_read.append(tasks)
+            if tasks:
+                all_tasks.extend(tasks)
+        engine.run(all_tasks)
+
+        jobs: List[Optional[stitch_mod.StitchJob]] = []
+        for key, pile in enumerate(chunk):
+            tasks = per_read[key]
+            if not tasks:
+                jobs.append(None)
+                continue
+            raw = read_index[pile.q_name]
+            job = stitch_mod.StitchJob(
+                name=pile.q_name,
+                raw_codes=raw,
+                piles_pos=[t.pos for t in tasks],
+                consensuses=[(t.consensus, t.solid) for t in tasks],
+                templates=[
+                    t.frags[0] if t.frags else np.empty(0, np.uint8)
+                    for t in tasks
+                ],
+                counts=[t.counts for t in tasks],
+                cfg=cfg,
+            )
+            jobs.append(job)
+        stitch_mod.run_stitch([j for j in jobs if j is not None], batch_align)
+
+        for pile, job in zip(chunk, jobs):
+            if job is None:
+                yield pile.q_name, np.empty(0, np.uint8), np.empty(0, bool)
+                continue
+            codes, solid = job.result()
+            if cfg.trim:
+                codes, solid = postprocess.trim_read(codes, solid, 1)
+                if postprocess.drop_read(solid):
+                    codes, solid = codes[:0], solid[:0]
+            yield pile.q_name, codes, solid
+
+    for pile in piles:
+        chunk.append(pile)
+        if len(chunk) >= chunk_reads:
+            yield from flush(chunk)
+            chunk = []
+    if chunk:
+        yield from flush(chunk)

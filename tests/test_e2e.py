@@ -1,0 +1,83 @@
+"""End-to-end pipeline test on simulated ground-truthed data —
+the framework's equivalent of the reference's golden example run
+(README.md:49-63), but with known truth so accuracy is measurable."""
+
+import numpy as np
+import pytest
+
+from consent_tpu.config import correct_preset
+from consent_tpu.io import seqs
+from consent_tpu.io.fasta import ReadIndex
+from consent_tpu.pipeline import engine
+from consent_tpu.pipeline.stitch import host_batch_align
+from consent_tpu.testing import metrics, simulate
+
+
+@pytest.fixture(scope="module")
+def sim():
+    genome, reads = simulate.simulate(
+        genome_len=3000, coverage=14.0, read_len=900,
+        error_rate=0.10, seed=42,
+    )
+    return genome, reads
+
+
+def run_pipeline(genome, reads, cfg):
+    index = ReadIndex()
+    for r in reads:
+        index.add(r.name, r.codes)
+    piles = simulate.piles_from_sim(reads, cfg.max_support)
+    results = list(
+        engine.process_piles(iter(piles), index, cfg,
+                             batch_align=host_batch_align)
+    )
+    return piles, results
+
+
+def truth_of(read, genome):
+    seg = genome[read.g_beg : read.g_end]
+    return seqs.revcomp(seg) if read.reverse else seg
+
+
+def test_correction_improves_identity(sim):
+    genome, reads = sim
+    cfg = correct_preset(
+        window_size=200, window_overlap=20, min_support=3,
+        batch_windows=16, consensus_rounds=1,
+    )
+    piles, results = run_pipeline(genome, reads, cfg)
+    by_name = {r.name: r for r in reads}
+
+    raw_ids, cor_ids = [], []
+    n_out = 0
+    for (name, codes, solid) in results:
+        if len(codes) == 0:
+            continue
+        n_out += 1
+        read = by_name[name]
+        truth = truth_of(read, genome)
+        raw_ids.append(metrics.identity(read.codes, truth))
+        cor_ids.append(metrics.identity(codes, truth))
+
+    assert n_out >= len(results) * 0.7, "too many reads dropped"
+    raw_mean = float(np.mean(raw_ids))
+    cor_mean = float(np.mean(cor_ids))
+    print(f"raw identity {raw_mean:.4f} -> corrected {cor_mean:.4f} "
+          f"({n_out} reads)")
+    assert cor_mean > raw_mean + 0.03
+    assert cor_mean > 0.95
+
+
+def test_pipeline_deterministic(sim):
+    genome, reads = sim
+    cfg = correct_preset(
+        window_size=200, window_overlap=20, min_support=3,
+        consensus_rounds=1,
+    )
+    _, res1 = run_pipeline(genome, reads[:8], cfg)
+    _, res2 = run_pipeline(genome, reads[:8], cfg)
+    assert len(res1) == len(res2)
+    for (n1, c1, s1), (n2, c2, s2) in zip(res1, res2):
+        assert n1 == n2
+        assert np.array_equal(c1, c2)
+        assert np.array_equal(s1, s2)
