@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: batched window-consensus throughput on one chip.
+
+Metric: consensus windows/s of the device hot path (fused Pallas
+fwd+bwd posterior alignment + vote reductions) at CLR-realistic shapes:
+512-base windows, 16 fragment slots per window (~15x pile coverage).
+
+Timing methodology: the axon tunnel makes naive block_until_ready
+unreliable, so we time dependent call chains of two lengths and take
+the slope, fetching results to the host for a hard sync.
+
+Baseline: the reference CONSENT corrects its bundled example (~33.5 Mb
+of 10x simulated PacBio reads; README.md:55) in ~2 min on 4 CPU cores.
+At the default 500/50 windowing that is ~74k windows => ~620 windows/s.
+(The example reads are LFS-missing from the snapshot, so this is the
+documented envelope, not a rerun; see BASELINE.md.)
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_WINDOWS_PER_S = 620.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from consent_tpu.ops import consensus as cons_ops
+
+    B, S, W = 64, 16, 512
+    Lf = W
+    rng = np.random.default_rng(0)
+    tpl = rng.integers(0, 4, (B, W)).astype(np.uint8)
+    frags = np.zeros((B, S, Lf), dtype=np.uint8)
+    frag_len = np.zeros((B, S), dtype=np.int32)
+    for b in range(B):
+        for s in range(S):
+            L = W - int(rng.integers(0, 40))
+            f = tpl[b, :L].copy()
+            n_err = L // 10
+            pos = rng.integers(0, L, n_err)
+            f[pos] = (f[pos] + 1 + rng.integers(0, 3, n_err)) % 4
+            frags[b, s, :L] = f
+            frag_len[b, s] = L
+
+    frags_d = jnp.asarray(frags)
+    fl_d = jnp.asarray(frag_len)
+    tpl_d = jnp.asarray(tpl)
+    tl_d = jnp.asarray(np.full(B, W, np.int32))
+
+    def chain(k, fr):
+        out = None
+        for _ in range(k):
+            out = cons_ops.consensus_votes(
+                fr, fl_d, tpl_d, tl_d, S=S, min_column_support=2
+            )
+            # data dependency so calls can't overlap or be elided
+            fr = (fr + out.col_base[:, None, :].astype(jnp.uint8)) % 4
+        return jax.device_get(out.coverage).sum()
+
+    chain(1, frags_d)  # compile
+    chain(4, frags_d)  # warm
+    t0 = time.perf_counter()
+    chain(1, frags_d)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain(4, frags_d)
+    t4 = time.perf_counter() - t0
+    per_call = max(1e-9, (t4 - t1) / 3)
+
+    wps = B / per_call
+    print(
+        json.dumps(
+            {
+                "metric": "consensus_windows_per_s",
+                "value": round(wps, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(wps / BASELINE_WINDOWS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Command-line drivers: consent-correct / consent-polish.
+
+Flag-for-flag mirrors of the reference bash drivers (CONSENT-correct /
+CONSENT-polish), with the same defaults the scripts pass to the core
+binary (which override the binary's own defaults — see config.py).
+
+Overlap sources, in priority order:
+  * --paf FILE: a precomputed, query-grouped PAF (the reference's
+    contract with minimap2),
+  * minimap2 on PATH: invoked with the reference's exact argument
+    strings (CONSENT-correct:185-187, CONSENT-polish:189),
+  * built-in minimizer overlapper (consent_tpu.overlap.minimizer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+from consent_tpu.config import correct_preset, polish_preset
+from consent_tpu.io import paf as paf_mod
+from consent_tpu.io import seqs
+from consent_tpu.io.fasta import ReadIndex, iter_fastx, write_fasta_record
+from consent_tpu.pipeline import engine
+
+
+def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
+    d_minsup = 3 if correct else 1
+    d_maxsup = 150 if correct else 20000
+    p.add_argument("--out", required=True)
+    p.add_argument("--type", choices=["PB", "ONT"], default="PB")
+    p.add_argument("--windowSize", "-l", type=int, default=500)
+    p.add_argument("--minSupport", "-s", type=int, default=d_minsup)
+    p.add_argument("--maxSupport", "-S", type=int, default=d_maxsup)
+    p.add_argument("--maxMSA", "-M", type=int, default=150)
+    p.add_argument("--merSize", "-k", type=int, default=9)
+    p.add_argument("--solid", "-f", type=int, default=4)
+    p.add_argument("--anchorSupport", "-c", type=int, default=8)
+    p.add_argument("--minAnchors", "-a", type=int, default=2)
+    p.add_argument("--windowOverlap", "-o", type=int, default=50)
+    p.add_argument("--nproc", "-j", type=int, default=os.cpu_count())
+    p.add_argument("--tmpdir", "-t", default=".")
+    p.add_argument("--paf", help="precomputed query-grouped PAF")
+    p.add_argument(
+        "--overlapper", choices=["auto", "native", "minimap2"],
+        default="auto",
+    )
+    p.add_argument("--consensus-rounds", type=int, default=1)
+
+
+def _cfg_from_args(args, correct: bool):
+    preset = correct_preset if correct else polish_preset
+    return preset(
+        window_size=args.windowSize,
+        min_support=args.minSupport,
+        max_support=args.maxSupport,
+        max_msa=args.maxMSA,
+        mer_size=args.merSize,
+        solid_thresh=args.solid,
+        common_kmers=args.anchorSupport,
+        min_anchors=args.minAnchors,
+        window_overlap=args.windowOverlap,
+        consensus_rounds=args.consensus_rounds,
+    )
+
+
+def _minimap2_args(kind: str, reads_type: str) -> list:
+    """The reference's exact minimap2 invocations
+    (CONSENT-correct:185,187; CONSENT-polish:189)."""
+    if kind == "correct" and reads_type == "ONT":
+        return (
+            "-k15 -w5 -m100 -g10000 -r2000 --max-chain-skip 25 "
+            "--dual=yes -PD --no-long-join"
+        ).split()
+    return "--dual=yes -PD --no-long-join -w5 -g1000 -m30 -n1".split()
+
+
+def _run_minimap2(kind, reads_type, target, query, out_paf, nproc, tmpdir):
+    cmd = (
+        ["minimap2"]
+        + _minimap2_args(kind, reads_type)
+        + ["-t", str(nproc), target, query]
+    )
+    with open(out_paf, "w") as f:
+        subprocess.run(cmd, stdout=f, check=True)
+
+
+def _correct_pile_stream(args, index):
+    if args.paf:
+        f = open(args.paf)
+        return paf_mod.iter_piles(f, args.maxSupport)
+    use_minimap = (
+        args.overlapper == "minimap2"
+        or (args.overlapper == "auto" and shutil.which("minimap2"))
+    )
+    if use_minimap:
+        tmp = tempfile.NamedTemporaryFile(
+            dir=args.tmpdir, suffix=".paf", delete=False
+        )
+        tmp.close()
+        _run_minimap2("correct", args.type, args.infile, args.infile,
+                      tmp.name, args.nproc, args.tmpdir)
+        grouped = tmp.name + ".grouped"
+        paf_mod.group_paf_by_query(tmp.name, grouped)
+        os.unlink(tmp.name)
+        return paf_mod.iter_piles(open(grouped), args.maxSupport)
+    # native overlapper
+    from consent_tpu.overlap import minimizer as mz
+
+    named = [(n, index[n]) for n in index.names()]
+    params = mz.OverlapParams()
+    return mz.all_vs_all_piles(named, params, args.maxSupport)
+
+
+def main_correct(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="consent-correct",
+        description="TPU-native long-read self-correction",
+    )
+    p.add_argument("--in", dest="infile", required=True)
+    _common_flags(p, correct=True)
+    args = p.parse_args(argv)
+
+    cfg = _cfg_from_args(args, correct=True)
+    index = ReadIndex.from_file(args.infile)
+    piles = _correct_pile_stream(args, index)
+
+    n_in = n_out = 0
+    with open(args.out, "w") as out:
+        for name, codes, solid in engine.process_piles(piles, index, cfg):
+            n_in += 1
+            if len(codes) == 0:
+                continue
+            n_out += 1
+            write_fasta_record(out, name, seqs.decode(codes, solid))
+    print(f"[consent-correct] {n_out}/{n_in} reads corrected -> {args.out}",
+          file=sys.stderr)
+    return 0
+
+
+def _polish_pile_stream(args, contig_index, read_index):
+    if args.paf:
+        # expects the reference's reformatted, contig-grouped PAF
+        return paf_mod.iter_piles(open(args.paf), args.maxSupport)
+    use_minimap = (
+        args.overlapper == "minimap2"
+        or (args.overlapper == "auto" and shutil.which("minimap2"))
+    )
+    if use_minimap:
+        raw = tempfile.NamedTemporaryFile(
+            dir=args.tmpdir, suffix=".paf", delete=False
+        )
+        raw.close()
+        _run_minimap2("polish", args.type, args.contigs, args.reads,
+                      raw.name, args.nproc, args.tmpdir)
+        srt = raw.name + ".sorted"
+        ref = raw.name + ".reformatted"
+        paf_mod.sort_by_target(raw.name, srt)
+        paf_mod.reformat_file(srt, ref)
+        os.unlink(raw.name)
+        os.unlink(srt)
+        return paf_mod.iter_piles(open(ref), args.maxSupport)
+    from consent_tpu.overlap import minimizer as mz
+
+    contigs = [(n, contig_index[n]) for n in contig_index.names()]
+    reads = [(n, read_index[n]) for n in read_index.names()]
+    return mz.map_to_targets_piles(
+        contigs, reads, mz.OverlapParams(), args.maxSupport
+    )
+
+
+def main_polish(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="consent-polish",
+        description="TPU-native assembly polishing",
+    )
+    p.add_argument("--contigs", required=True)
+    p.add_argument("--reads", required=True)
+    _common_flags(p, correct=False)
+    args = p.parse_args(argv)
+
+    cfg = _cfg_from_args(args, correct=False)
+    contig_index = ReadIndex.from_file(args.contigs)
+    read_index = ReadIndex.from_file(args.reads)
+    # the polishing core indexes contigs AND reads into one map
+    # (CONSENT-polishing.cpp:114-117)
+    merged = ReadIndex()
+    for n in contig_index.names():
+        merged.add(n, contig_index[n])
+    for n in read_index.names():
+        merged.add(n, read_index[n])
+
+    piles = _polish_pile_stream(args, contig_index, read_index)
+
+    n_in = n_out = 0
+    with open(args.out, "w") as out:
+        for name, codes, solid in engine.process_piles(piles, merged, cfg):
+            n_in += 1
+            if len(codes) == 0:
+                continue
+            n_out += 1
+            write_fasta_record(out, name, seqs.decode(codes, solid))
+    print(f"[consent-polish] {n_out}/{n_in} contigs polished -> {args.out}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_correct())

@@ -8,17 +8,19 @@ dependency is resolved with an associative prefix-max scan, so each DP
 row is one vectorized step — no scalar inner loop, no traceback.
 
 Instead of a traceback, we compute the *match posterior*: a cell (i, j)
-is marked iff some optimal local alignment matches query base i to
-reference base j.  This needs one forward and one backward fill:
+lies on an optimal local alignment with (i ~ j) matched iff
 
-    on_path(i,j)  <=>  fwd_match(i,j) + bwd_cont(i+1,j+1) == opt
+    fwd_match(i,j) + bwd_cont(i+1,j+1) == opt
 
 where fwd_match is the best score of a local path ending with (i~j)
-aligned, and bwd_cont is the best continuation starting at (i+1, j+1)
-(possibly empty).  Affine gaps cannot straddle a matched pair, so the
-split is exact.  Everything downstream (consensus votes, alignment
-begin/end coordinates, indel counts) derives from this boolean tensor
-with vectorized column reductions — the TPU never chases pointers.
+aligned and bwd_cont is the best (possibly empty) continuation starting
+at (i+1, j+1).  Affine gaps cannot straddle a matched pair, so the
+split is exact.  The posterior is never materialized as a [Lq, Lr]
+tensor: the backward scan folds each row into per-column summaries
+(matched?, first/last matched query row), which is all that consensus
+voting and span extraction need.  The TPU never chases pointers and
+never writes O(Lq*Lr) ints — only the int16 fwd_match rows round-trip
+through HBM.
 
 Gap cost model: a gap of length g costs open + (g-1)*ext, matching the
 SSW library's semantics used by the reference stitcher.
@@ -41,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = -(2 ** 20)  # effectively -inf for int32 scores
+NEG = -(2 ** 14)  # effectively -inf; int16-safe (scores stay < 2^14)
 
 
 class Scoring(NamedTuple):
@@ -51,11 +53,25 @@ class Scoring(NamedTuple):
     gap_extend: int = 2   # cost of each further base
 
 
-class PosteriorResult(NamedTuple):
-    """All [N, ...] per-lane outputs of the posterior alignment."""
+INS_PACK = 16  # inserted bases packed 2-bit into one int32 per column
 
-    opt: jnp.ndarray          # [N] optimal local score
-    match_mask: jnp.ndarray   # [N, Lq, Lr] bool: (i,j) matched on an optimal path
+
+class PosteriorSummary(NamedTuple):
+    """Per-column posterior summaries, all [N, Lr] (query-row indices
+    are int32; -1/Lq sentinels where unmatched).
+
+    base / ins_pack are derived views the Pallas kernel captures for
+    free during the backward sweep (saving slow XLA gathers):
+      base[j]     = q[i_last[j]]            (the aligned base)
+      ins_pack[j] = q[i_last[j]+1 .. +16] packed 2 bits/base, LSB first
+    """
+
+    opt: jnp.ndarray        # [N] optimal local score
+    matched: jnp.ndarray    # [N, Lr] bool: column j matched on an optimal path
+    i_first: jnp.ndarray    # [N, Lr] smallest matched query row (Lq if none)
+    i_last: jnp.ndarray     # [N, Lr] largest matched query row (-1 if none)
+    base: jnp.ndarray       # [N, Lr] int32
+    ins_pack: jnp.ndarray   # [N, Lr] int32
 
 
 def _prefix_max_exclusive(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -69,95 +85,129 @@ def _prefix_max_exclusive(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return shifted[tuple(index)]
 
 
-def _row_scores(q_col: jnp.ndarray, ref: jnp.ndarray, valid_row: jnp.ndarray,
-                ref_mask: jnp.ndarray, sc: Scoring) -> jnp.ndarray:
-    """Substitution scores for one query row: [N, Lr]; invalid -> NEG."""
-    sub = jnp.where(q_col[:, None] == ref, sc.match, sc.mismatch)
-    ok = valid_row[:, None] & ref_mask
-    return jnp.where(ok, sub, NEG)
-
-
 @functools.partial(jax.jit, static_argnames=("sc",))
-def posterior_align(
+def posterior_summary(
     q: jnp.ndarray,       # [N, Lq] uint8 codes
     q_len: jnp.ndarray,   # [N] int32
     r: jnp.ndarray,       # [N, Lr] uint8 codes
     r_len: jnp.ndarray,   # [N] int32
     sc: Scoring = Scoring(),
-) -> PosteriorResult:
-    """Forward + backward local-alignment fill, match posterior out.
-
-    Pure JAX (jit-friendly, static shapes); the Pallas banded kernel in
-    ops/pallas_align.py accelerates the same contract.
-    """
+) -> PosteriorSummary:
+    """Forward + backward local-alignment fill with streaming posterior
+    reduction.  Pure JAX (static shapes); ops/pallas_align.py provides
+    the fused-kernel fast path with the same contract."""
     N, Lq = q.shape
     Lr = r.shape[1]
-    q = q.astype(jnp.int32)
-    r = r.astype(jnp.int32)
+    qi = q.astype(jnp.int16)
+    ri = r.astype(jnp.int16)
     ref_mask = jnp.arange(Lr)[None, :] < r_len[:, None]           # [N, Lr]
     open_, ext = sc.gap_open, sc.gap_extend
-    jcost = jnp.arange(Lr, dtype=jnp.int32) * ext                 # j*ext
+    jcost = (jnp.arange(Lr, dtype=jnp.int16) * ext)               # j*ext
+
+    def row_scores(q_col, valid_row):
+        sub = jnp.where(q_col[:, None] == ri, sc.match, sc.mismatch)
+        ok = valid_row[:, None] & ref_mask
+        return jnp.where(ok, sub, NEG).astype(jnp.int16)
 
     # ---------------- forward fill ----------------
     def fwd_step(carry, xs):
-        h_prev, f_prev = carry            # [N, Lr] H and F of row i-1
+        h_prev, f_prev = carry            # [N, Lr] int16, rows i-1
         q_col, i = xs
         valid = i < q_len                                        # [N]
-        sub = _row_scores(q_col, r, valid, ref_mask, sc)         # [N, Lr]
+        sub = row_scores(q_col, valid)                           # [N, Lr]
         h_diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))       # H[i-1][j-1]
-        hm = h_diag + sub                                        # match-entering
-        f = jnp.maximum(h_prev - open_, f_prev - ext)            # vertical
-        ht = jnp.maximum(jnp.maximum(hm, f), 0)
-        # horizontal via exclusive prefix max of (ht + j*ext)
-        e = _prefix_max_exclusive(ht + jcost, axis=1) - jcost - (open_ - ext)
+        hm = (h_diag + sub).astype(jnp.int16)                    # match-entering
+        f = jnp.maximum(h_prev - open_, f_prev - ext).astype(jnp.int16)
+        ht = jnp.maximum(jnp.maximum(hm, f), 0).astype(jnp.int16)
+        e = (
+            _prefix_max_exclusive(ht + jcost, axis=1) - jcost - (open_ - ext)
+        ).astype(jnp.int16)
         h = jnp.maximum(ht, e)
         h = jnp.where(valid[:, None], h, h_prev)
         f = jnp.where(valid[:, None], f, f_prev)
-        return (h, f), hm.astype(jnp.int32)
+        return (h, f), hm
 
-    h0 = jnp.zeros((N, Lr), jnp.int32)
-    f0 = jnp.full((N, Lr), NEG, jnp.int32)
+    h0 = jnp.zeros((N, Lr), jnp.int16)
+    f0 = jnp.full((N, Lr), NEG, jnp.int16)
     (_, _), hm_all = jax.lax.scan(
-        fwd_step, (h0, f0), (q.T, jnp.arange(Lq)), length=Lq
+        fwd_step, (h0, f0), (qi.T, jnp.arange(Lq)), length=Lq
     )
-    # hm_all: [Lq, N, Lr] best score of local path ending with (i ~ j)
-    opt = jnp.maximum(jnp.max(hm_all, axis=(0, 2)), 0)           # [N]
+    # hm_all: [Lq, N, Lr] int16: best score ending with (i ~ j) matched
+    opt = jnp.maximum(
+        jnp.max(hm_all.astype(jnp.int32), axis=(0, 2)), 0
+    )                                                            # [N] int32
 
-    # ---------------- backward fill + posterior ----------------
-    # bh[i][j] = best local continuation of suffixes q[i:], r[j:] that may
-    # be empty (>= 0); diag entry at (i,j) uses sub(i,j) + bh[i+1][j+1].
+    # ---------------- backward fill + streaming posterior ----------------
+    opt16 = opt.astype(jnp.int16)
+
     def bwd_step(carry, xs):
-        bh_next, bf_next = carry          # rows i+1
+        bh_next, bf_next, matched, i_first, i_last = carry
         q_col, hm_row, i = xs
         valid = i < q_len
-        sub = _row_scores(q_col, r, valid, ref_mask, sc)
+        sub = row_scores(q_col, valid)
         bh_diag = jnp.pad(bh_next[:, 1:], ((0, 0), (0, 1)))      # bh[i+1][j+1]
-        bm = sub + bh_diag                                       # match at (i,j)
-        bf = jnp.maximum(bh_next - open_, bf_next - ext)
-        bt = jnp.maximum(jnp.maximum(bm, bf), 0)
-        # horizontal (consuming ref rightward): suffix-max scan
+        bm = (sub + bh_diag).astype(jnp.int16)
+        bf = jnp.maximum(bh_next - open_, bf_next - ext).astype(jnp.int16)
+        bt = jnp.maximum(jnp.maximum(bm, bf), 0).astype(jnp.int16)
         be = (
             _prefix_max_exclusive((bt - jcost)[:, ::-1], axis=1)[:, ::-1]
             + jcost - (open_ - ext)
-        )
+        ).astype(jnp.int16)
         bh = jnp.maximum(bt, be)
         bh = jnp.where(valid[:, None], bh, bh_next)
         bf = jnp.where(valid[:, None], bf, bf_next)
-        # posterior: matched (i,j) on an optimal path
-        on_path = (hm_row + bh_diag) == opt[:, None]
-        on_path = on_path & (hm_row > NEG // 2) & (opt > 0)[:, None]
-        return (bh, bf), on_path
 
-    bh0 = jnp.zeros((N, Lr), jnp.int32)
-    bf0 = jnp.full((N, Lr), NEG, jnp.int32)
-    (_, _), on_path_rev = jax.lax.scan(
+        on_path = (
+            ((hm_row + bh_diag) == opt16[:, None])
+            & (hm_row > NEG // 2)
+            & (opt > 0)[:, None]
+        )
+        # descending i: overwriting i_first converges to the minimum;
+        # i_last keeps the first (= largest) row seen.
+        i_first = jnp.where(on_path, i, i_first)
+        i_last = jnp.where(on_path & ~matched, i, i_last)
+        matched = matched | on_path
+        return (bh, bf, matched, i_first, i_last), None
+
+    bh0 = jnp.zeros((N, Lr), jnp.int16)
+    bf0 = jnp.full((N, Lr), NEG, jnp.int16)
+    m0 = jnp.zeros((N, Lr), jnp.bool_)
+    if0 = jnp.full((N, Lr), Lq, jnp.int32)
+    il0 = jnp.full((N, Lr), -1, jnp.int32)
+    (bh, bf, matched, i_first, i_last), _ = jax.lax.scan(
         bwd_step,
-        (bh0, bf0),
-        (q.T[::-1], hm_all[::-1], jnp.arange(Lq - 1, -1, -1)),
+        (bh0, bf0, m0, if0, il0),
+        (qi.T[::-1], hm_all[::-1], jnp.arange(Lq - 1, -1, -1)),
         length=Lq,
     )
-    match_mask = on_path_rev[::-1].transpose(1, 0, 2)            # [N, Lq, Lr]
-    return PosteriorResult(opt=opt, match_mask=match_mask)
+    base, ins_pack = derive_base_ins(q, q_len, matched, i_last)
+    return PosteriorSummary(
+        opt=opt, matched=matched, i_first=i_first, i_last=i_last,
+        base=base, ins_pack=ins_pack,
+    )
+
+
+def derive_base_ins(q, q_len, matched, i_last):
+    """Gather-based base / packed-insertion derivation (XLA fallback;
+    the Pallas kernel captures these during its backward sweep).
+    Offsets past q_len pack as 0, unmatched columns are 0."""
+    N, Lq = q.shape
+    Lr = matched.shape[1]
+    qi32 = q.astype(jnp.int32)
+    safe_il = jnp.clip(jnp.where(matched, i_last, 0), 0, Lq - 1)
+    base = jnp.where(
+        matched, jnp.take_along_axis(qi32, safe_il, axis=1), 0
+    )
+    k = jnp.arange(INS_PACK)[None, None, :]
+    gidx = safe_il[:, :, None] + 1 + k
+    ins = jnp.take_along_axis(
+        qi32, jnp.clip(gidx, 0, Lq - 1).reshape(N, Lr * INS_PACK), axis=1
+    ).reshape(N, Lr, INS_PACK)
+    ins = jnp.where(gidx < q_len[:, None, None], ins, 0)
+    ins_pack = jnp.where(
+        matched, jnp.sum(ins << (2 * k), axis=2).astype(jnp.int32), 0
+    )
+    return base, ins_pack
 
 
 class SpanResult(NamedTuple):
@@ -171,32 +221,27 @@ class SpanResult(NamedTuple):
     q_end: jnp.ndarray      # [N] last matched query index (or -1)
     r_begin: jnp.ndarray    # [N]
     r_end: jnp.ndarray      # [N]
-    valid: jnp.ndarray      # [N] bool: opt > 0
+    valid: jnp.ndarray      # [N] bool: any match
 
 
-def alignment_spans(res: PosteriorResult) -> SpanResult:
-    """Extract begin/end coords from the match posterior.
-
-    A local alignment starts and ends with matched pairs, so the span is
-    the bounding box of the earliest/latest matched cells.  When several
-    optimal paths exist we take the union's bounding box (the reference's
-    SSW picks one arbitrary optimum; tie behavior is unspecified there).
-    """
-    m = res.match_mask
-    N, Lq, Lr = m.shape
-    any_match = m.any(axis=(1, 2))
-    qi = jnp.arange(Lq)[None, :, None]
-    rj = jnp.arange(Lr)[None, None, :]
-    big = Lq + Lr + 10
-    q_begin = jnp.min(jnp.where(m, qi, big), axis=(1, 2))
-    q_end = jnp.max(jnp.where(m, qi, -1), axis=(1, 2))
-    r_begin = jnp.min(jnp.where(m, rj, big), axis=(1, 2))
-    r_end = jnp.max(jnp.where(m, rj, -1), axis=(1, 2))
+def summary_spans(s: PosteriorSummary) -> SpanResult:
+    """Bounding box of matched cells (ties: union box — the reference's
+    SSW picks one arbitrary optimum; tie behavior is unspecified there)."""
+    N, Lr = s.matched.shape
+    any_match = s.matched.any(axis=1)
+    rj = jnp.arange(Lr)[None, :]
+    big = Lr + 10
+    r_begin = jnp.min(jnp.where(s.matched, rj, big), axis=1)
+    r_end = jnp.max(jnp.where(s.matched, rj, -1), axis=1)
+    q_begin = jnp.min(jnp.where(s.matched, s.i_first, big + Lr), axis=1)
+    q_end = jnp.max(jnp.where(s.matched, s.i_last, -1), axis=1)
     return SpanResult(
-        opt=res.opt,
+        opt=s.opt,
         q_begin=jnp.where(any_match, q_begin, 0),
         q_end=jnp.where(any_match, q_end, -1),
         r_begin=jnp.where(any_match, r_begin, 0),
         r_end=jnp.where(any_match, r_end, -1),
         valid=any_match,
     )
+
+

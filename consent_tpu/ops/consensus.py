@@ -38,6 +38,17 @@ from consent_tpu.ops import align as align_ops
 INS_CAP = 16  # max insertion bases tracked per column boundary
 
 
+def _summary_dispatch(q, q_len, r, r_len, scoring):
+    """Fused Pallas kernel on TPU; XLA-scan elsewhere (CPU tests)."""
+    if jax.default_backend() == "tpu" and r.shape[1] % 128 == 0:
+        from consent_tpu.ops import pallas_align
+
+        return pallas_align.pallas_posterior_summary(
+            q, q_len, r, r_len, scoring
+        )
+    return align_ops.posterior_summary(q, q_len, r, r_len, scoring)
+
+
 class WindowVotes(NamedTuple):
     """Per-window consensus description, all device arrays."""
 
@@ -90,20 +101,15 @@ def consensus_votes(
     r = jnp.repeat(tpl, S, axis=0)
     r_len = jnp.repeat(tpl_len, S)
 
-    post = align_ops.posterior_align(q, q_len, r, r_len, scoring)
-    m = post.match_mask                                  # [N, Lf, W]
+    summ = _summary_dispatch(q, q_len, r, r_len, scoring)
     N = B * S
-
-    qi = jnp.arange(Lf)[None, :, None]
+    matched = summ.matched                               # [N, W]
     big = Lf + W + 10
-    matched = m.any(axis=1)                              # [N, W]
-    i_first = jnp.min(jnp.where(m, qi, big), axis=1)     # [N, W]
-    i_last = jnp.max(jnp.where(m, qi, -1), axis=1)       # [N, W]
+    i_first = jnp.where(matched, summ.i_first, big)
+    i_last = jnp.where(matched, summ.i_last, -1)
 
-    # aligned base per column: the last matched query row's base
-    base = jnp.take_along_axis(
-        q.astype(jnp.int32), jnp.clip(i_last, 0, Lf - 1), axis=1
-    )                                                    # [N, W]
+    # aligned base per column (captured by the aligner, no gather)
+    base = summ.base                                     # [N, W]
 
     # coverage span of each fragment on the template
     rj = jnp.arange(W)[None, :]
@@ -117,14 +123,11 @@ def consensus_votes(
     ins_count = jnp.where(has_bnd, nxt_first - i_last - 1, 0)
     ins_count = jnp.clip(ins_count, 0, INS_CAP)
 
-    # gather up to INS_CAP inserted bases per boundary
+    # unpack up to INS_CAP inserted bases per boundary from the
+    # aligner's 2-bit-packed capture (no gather)
+    assert INS_CAP == align_ops.INS_PACK
     k = jnp.arange(INS_CAP)[None, None, :]
-    gidx = jnp.clip(i_last[:, :, None] + 1 + k, 0, Lf - 1)   # [N, W, K]
-    ins_codes = jnp.take_along_axis(
-        jnp.broadcast_to(q.astype(jnp.int32)[:, None, :], (N, W, Lf)),
-        gidx,
-        axis=2,
-    )
+    ins_codes = (summ.ins_pack[:, :, None] >> (2 * k)) & 3   # [N, W, K]
     ins_valid = k < ins_count[:, :, None]                # [N, W, K]
 
     # ---- reduce over fragment slots per window ----

@@ -1,0 +1,248 @@
+"""Fused Pallas TPU kernel for the posterior alignment.
+
+Same contract as ops/align.py:posterior_summary, but the whole
+forward + backward DP runs inside ONE kernel per lane-tile:
+
+  * per-row DP states (H, F / BH, BF) live in VMEM registers,
+  * the match-entering score matrix (hm) is staged in a VMEM scratch —
+    it never round-trips through HBM,
+  * the within-row affine-gap dependency is a log2(W)-step shift-max
+    prefix scan on the VPU,
+  * the backward pass folds the match posterior into per-column
+    summaries (matched / i_first / i_last) written straight to the
+    output block.
+
+The XLA-scan implementation in ops/align.py issues ~2*Lq sequential
+fused regions per call; this kernel replaces them with one Mosaic
+program per 8-lane tile, which is where the ~2 orders of magnitude of
+hot-path throughput come from (see bench.py).
+
+Grid: (N / TILE_N,) — programs run sequentially on the core; each
+handles TILE_N query/ref lane pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from consent_tpu.ops.align import INS_PACK, NEG, PosteriorSummary, Scoring
+
+
+def _pick_tile(Lq: int, W: int, budget_bytes: int = 10 * 2 ** 20) -> int:
+    """Lane-tile size so the hm scratch fits the VMEM budget."""
+    per_lane = Lq * W * 4
+    t = budget_bytes // per_lane
+    for cand in (16, 8, 4, 2, 1):
+        if t >= cand:
+            return cand
+    return 1
+
+
+def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
+            opt_ref, matched_ref, ifirst_ref, ilast_ref,
+            base_ref, inspack_ref,
+            hm_ref, h_ref, f_ref, optv_ref,
+            *, Lq: int, W: int, sc: Scoring):
+    match, mismatch = sc.match, sc.mismatch
+    open_, ext = sc.gap_open, sc.gap_extend
+    TILE_N = q_ref.shape[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, W), 1)
+    jcost = col * ext
+    rvec = r_ref[:]
+    rmask = col < rlen_ref[:]          # [TILE_N, 1] -> broadcast
+    qlen = qlen_ref[:]                 # [TILE_N, 1]
+    log_steps = max(1, int(np.ceil(np.log2(W))))
+
+    def prefix_max_incl(x):
+        for s in (2 ** p for p in range(log_steps)):
+            sh = jnp.where(col >= s, pltpu.roll(x, s, axis=1), NEG)
+            x = jnp.maximum(x, sh)
+        return x
+
+    def suffix_max_incl(x):
+        for s in (2 ** p for p in range(log_steps)):
+            sh = jnp.where(col < W - s, pltpu.roll(x, W - s, axis=1), NEG)
+            x = jnp.maximum(x, sh)
+        return x
+
+    kins = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, INS_PACK), 1)
+    pack_w = (1 << (2 * kins))
+
+    def sub_row(i):
+        # Mosaic can't load one dynamic lane directly; rotate row i to
+        # lane 0 (dynamic rotates are supported) and slice statically.
+        qrot = pltpu.roll(q_ref[:], jnp.remainder(Lq - i, Lq), axis=1)
+        qcol = qrot[:, 0:1]                        # [TILE_N, 1]
+        valid = i < qlen                           # [TILE_N, 1]
+        sub = jnp.where(qcol == rvec, match, mismatch)
+        return jnp.where(valid & rmask, sub, NEG), valid, qcol, qrot
+
+    # ---------------- forward ----------------
+    h_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    f_ref[:] = jnp.full((TILE_N, W), NEG, jnp.int32)
+    optv_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+
+    def fwd_body(i, _):
+        sub, valid, _, _ = sub_row(i)
+        h_prev = h_ref[:]
+        f_prev = f_ref[:]
+        h_diag = jnp.where(col >= 1, pltpu.roll(h_prev, 1, axis=1), 0)
+        hm = h_diag + sub
+        f = jnp.maximum(h_prev - open_, f_prev - ext)
+        ht = jnp.maximum(jnp.maximum(hm, f), 0)
+        p = prefix_max_incl(ht + jcost)
+        pe = jnp.where(col >= 1, pltpu.roll(p, 1, axis=1), NEG)
+        e = pe - jcost - (open_ - ext)
+        h = jnp.maximum(ht, e)
+        h_ref[:] = jnp.where(valid, h, h_prev)
+        f_ref[:] = jnp.where(valid, f, f_prev)
+        hm_ref[pl.ds(i, 1)] = hm[None]
+        optv_ref[:] = jnp.maximum(optv_ref[:], hm)
+        return 0
+
+    jax.lax.fori_loop(0, Lq, fwd_body, 0)
+
+    opt = jnp.max(optv_ref[:], axis=1, keepdims=True)   # [TILE_N, 1]
+    opt = jnp.maximum(opt, 0)
+    opt_ref[:] = opt
+
+    # ---------------- backward + posterior ----------------
+    # reuse h/f scratches as BH/BF
+    h_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    f_ref[:] = jnp.full((TILE_N, W), NEG, jnp.int32)
+    matched_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    ifirst_ref[:] = jnp.full((TILE_N, W), Lq, jnp.int32)
+    ilast_ref[:] = jnp.full((TILE_N, W), -1, jnp.int32)
+    base_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    inspack_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    pos_opt = opt > 0
+
+    def bwd_body(t, _):
+        i = Lq - 1 - t
+        sub, valid, qcol, qrot = sub_row(i)
+        bh_next = h_ref[:]
+        bf_next = f_ref[:]
+        bh_diag = jnp.where(col <= W - 2, pltpu.roll(bh_next, W - 1, axis=1), 0)
+        bm = sub + bh_diag
+        bf = jnp.maximum(bh_next - open_, bf_next - ext)
+        bt = jnp.maximum(jnp.maximum(bm, bf), 0)
+        s = suffix_max_incl(bt - jcost)
+        se = jnp.where(col <= W - 2, pltpu.roll(s, W - 1, axis=1), NEG)
+        be = se + jcost - (open_ - ext)
+        bh = jnp.maximum(bt, be)
+        h_ref[:] = jnp.where(valid, bh, bh_next)
+        f_ref[:] = jnp.where(valid, bf, bf_next)
+
+        hm_row = hm_ref[pl.ds(i, 1)][0]
+        on_path = (
+            (hm_row + bh_diag == opt)
+            & (hm_row > NEG // 2)
+            & pos_opt
+        )
+        first_seen = on_path & (matched_ref[:] == 0)
+        ifirst_ref[:] = jnp.where(on_path, i, ifirst_ref[:])
+        ilast_ref[:] = jnp.where(first_seen, i, ilast_ref[:])
+        # capture the aligned base and q[i+1..i+INS_PACK] (already in
+        # the rotated register) packed 2 bits/base — saves XLA gathers.
+        # offsets past q_len pack as 0 (parity with the XLA fallback).
+        k_in_len = (i + 1 + kins) < qlen           # [TILE_N, INS_PACK]
+        qslice = jnp.where(k_in_len, qrot[:, 1 : 1 + INS_PACK], 0)
+        pack = jnp.sum(qslice * pack_w, axis=1, keepdims=True)
+        base_ref[:] = jnp.where(first_seen, qcol, base_ref[:])
+        inspack_ref[:] = jnp.where(first_seen, pack, inspack_ref[:])
+        matched_ref[:] = jnp.where(on_path, 1, matched_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, Lq, bwd_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sc", "interpret"))
+def pallas_posterior_summary(
+    q: jnp.ndarray,       # [N, Lq] uint8/int32 codes
+    q_len: jnp.ndarray,   # [N] int32
+    r: jnp.ndarray,       # [N, Lr] uint8/int32 codes
+    r_len: jnp.ndarray,   # [N] int32
+    sc: Scoring = Scoring(),
+    interpret: bool = False,
+) -> PosteriorSummary:
+    N, Lq = q.shape
+    W = r.shape[1]
+    assert W % 128 == 0, f"ref length {W} must be a multiple of 128"
+    TILE_N = _pick_tile(Lq, W)
+    n_pad = (-N) % TILE_N
+    if n_pad:
+        q = jnp.pad(q, ((0, n_pad), (0, 0)))
+        r = jnp.pad(r, ((0, n_pad), (0, 0)))
+        q_len = jnp.pad(q_len, (0, n_pad))
+        r_len = jnp.pad(r_len, (0, n_pad))
+    Np = N + n_pad
+    grid = (Np // TILE_N,)
+
+    lane_spec = lambda: pl.BlockSpec(
+        (TILE_N, 1), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    seq_spec = lambda L: pl.BlockSpec(
+        (TILE_N, L), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = lambda L: pl.BlockSpec(
+        (TILE_N, L), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_kernel, Lq=Lq, W=W, sc=sc)
+    opt, matched, i_first, i_last, base, ins_pack = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(),            # q_len
+            lane_spec(),            # r_len
+            seq_spec(Lq),           # q
+            seq_spec(W),            # r
+        ],
+        out_specs=[
+            out_spec(1),            # opt
+            out_spec(W),            # matched
+            out_spec(W),            # i_first
+            out_spec(W),            # i_last
+            out_spec(W),            # base
+            out_spec(W),            # ins_pack
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lq, TILE_N, W), jnp.int32),   # hm
+            pltpu.VMEM((TILE_N, W), jnp.int32),       # h / bh
+            pltpu.VMEM((TILE_N, W), jnp.int32),       # f / bf
+            pltpu.VMEM((TILE_N, W), jnp.int32),       # optv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(Lq * TILE_N * W * 4 + 8 * 2 ** 20),
+        ),
+        interpret=interpret,
+    )(
+        q_len.astype(jnp.int32)[:, None],
+        r_len.astype(jnp.int32)[:, None],
+        q.astype(jnp.int32),
+        r.astype(jnp.int32),
+    )
+
+    return PosteriorSummary(
+        opt=opt[:N, 0],
+        matched=matched[:N].astype(jnp.bool_),
+        i_first=i_first[:N],
+        i_last=i_last[:N],
+        base=base[:N],
+        ins_pack=ins_pack[:N],
+    )

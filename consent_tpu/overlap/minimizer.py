@@ -1,0 +1,319 @@
+"""Native minimizer-based all-vs-all overlapper (vectorized NumPy).
+
+The reference shells out to minimap2 for both self-overlaps and
+read-to-contig mapping (CONSENT-correct:185-187, CONSENT-polish:189).
+This module provides a built-in replacement with the same output
+contract (PAF-shaped records, inclusive-end Overlap rows) for
+environments without minimap2 and as the default overlap source.
+
+Algorithm (minimap-style, simplified):
+  1. canonical (w, k)-minimizers per sequence with an invertible
+     64-bit mixer,
+  2. hash join of minimizer tables (over-frequent seeds dropped),
+  3. per (query, target, relative-strand) diagonal clustering,
+  4. cluster -> overlap span + minimizer-count score.
+
+Defaults approximate minimap2's PacBio preset (-k15 -w5 ~ the
+reference's PB invocation uses minimap2 defaults k=15 w=10 with -w5
+override; CONSENT-correct:185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from consent_tpu.io import seqs
+from consent_tpu.io.paf import OVERLAP_DTYPE, Pile
+
+
+@dataclasses.dataclass(frozen=True)
+class OverlapParams:
+    k: int = 15
+    w: int = 5
+    max_occ: int = 200          # drop minimizers occurring more often
+    min_span: int = 100         # minimum overlap span (bases)
+    min_count: int = 4          # minimum shared minimizers per overlap
+    diag_tolerance: int = 500   # diagonal clustering width
+    chain_gap: int = 1000       # split chains at larger position jumps
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Invertible 64-bit mixer (splitmix64 finalizer) — decorrelates
+    lexicographic k-mer order so window minima are pseudo-random."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _kmers_u64(codes: np.ndarray, k: int) -> np.ndarray:
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    acc = np.zeros(len(codes), dtype=np.uint64)
+    # rolling via cumulative shifts: kmer[i] = sum codes[i+j] << 2(k-1-j)
+    for j in range(k):
+        out = (out << np.uint64(2)) | codes[j : j + n].astype(np.uint64)
+    return out
+
+
+def minimizers(codes: np.ndarray, params: OverlapParams
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hash, pos, strand) canonical minimizers of one sequence.
+
+    strand False = forward k-mer is canonical."""
+    k, w = params.k, params.w
+    n = len(codes) - k + 1
+    if n < w:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.bool_))
+    fwd = _kmers_u64(codes, k)
+    rc = _kmers_u64(seqs.revcomp(codes), k)[::-1]
+    strand = rc < fwd
+    canon = np.where(strand, rc, fwd)
+    h = _mix64(canon)
+    # sliding window minimum over w positions
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    arg = win.argmin(axis=1)
+    pos = np.arange(len(arg)) + arg
+    # dedupe consecutive duplicates
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    pos = pos[keep]
+    return h[pos], pos.astype(np.int64), strand[pos]
+
+
+class MinimizerIndex:
+    """Minimizer table over a set of target sequences."""
+
+    def __init__(self, params: OverlapParams = OverlapParams()):
+        self.params = params
+        self._names: List[str] = []
+        self._lens: List[int] = []
+        self._h: List[np.ndarray] = []
+        self._pos: List[np.ndarray] = []
+        self._str: List[np.ndarray] = []
+
+    def add(self, name: str, codes: np.ndarray) -> None:
+        h, pos, st = minimizers(codes, self.params)
+        self._names.append(name)
+        self._lens.append(len(codes))
+        self._h.append(h)
+        self._pos.append(pos)
+        self._str.append(st)
+
+    def build(self) -> None:
+        sizes = [len(h) for h in self._h]
+        self.t_id = np.repeat(np.arange(len(sizes)), sizes)
+        self.h = np.concatenate(self._h) if sizes else np.empty(0, np.uint64)
+        self.pos = (np.concatenate(self._pos) if sizes
+                    else np.empty(0, np.int64))
+        self.strand = (np.concatenate(self._str) if sizes
+                       else np.empty(0, np.bool_))
+        order = np.argsort(self.h, kind="stable")
+        self.t_id = self.t_id[order]
+        self.h = self.h[order]
+        self.pos = self.pos[order]
+        self.strand = self.strand[order]
+        # frequency filter
+        uniq, start, count = np.unique(
+            self.h, return_index=True, return_counts=True
+        )
+        ok = count <= self.params.max_occ
+        keep = np.zeros(len(self.h), dtype=bool)
+        for s, c in zip(start[ok], count[ok]):
+            keep[s : s + c] = True
+        self.t_id = self.t_id[keep]
+        self.h = self.h[keep]
+        self.pos = self.pos[keep]
+        self.strand = self.strand[keep]
+
+    def names(self) -> List[str]:
+        return self._names
+
+    def length(self, tid: int) -> int:
+        return self._lens[tid]
+
+
+def map_query(
+    index: MinimizerIndex,
+    q_name: str,
+    q_codes: np.ndarray,
+    skip_self: bool = True,
+) -> List[tuple]:
+    """Map one query against the index; returns PAF-equivalent rows
+    (q_name, t_name, numeric tuple matching OVERLAP_DTYPE order)."""
+    p = index.params
+    qh, qpos, qstr = minimizers(q_codes, p)
+    if len(qh) == 0 or len(index.h) == 0:
+        return []
+    # join on hash
+    lo = np.searchsorted(index.h, qh, side="left")
+    hi = np.searchsorted(index.h, qh, side="right")
+    n_hits = hi - lo
+    if n_hits.sum() == 0:
+        return []
+    q_idx = np.repeat(np.arange(len(qh)), n_hits)
+    t_rows = np.concatenate(
+        [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+    ) if n_hits.sum() else np.empty(0, np.int64)
+
+    tid = index.t_id[t_rows]
+    tpos = index.pos[t_rows]
+    tstr = index.strand[t_rows]
+    qq = qpos[q_idx]
+    rel_strand = (qstr[q_idx] != tstr)          # True = '-'
+
+    if skip_self:
+        self_name_id = (
+            index.names().index(q_name) if q_name in index._names else -1
+        )
+        keep = tid != self_name_id
+        tid, tpos, qq, rel_strand = (
+            tid[keep], tpos[keep], qq[keep], rel_strand[keep]
+        )
+    if len(tid) == 0:
+        return []
+
+    # diagonal per relative strand: '+': q - t ; '-': q + t
+    diag = np.where(rel_strand, qq + tpos, qq - tpos)
+    key_strand = rel_strand.astype(np.int64)
+    order = np.lexsort((diag, key_strand, tid))
+    tid, tpos, qq, rel_strand, diag = (
+        tid[order], tpos[order], qq[order], rel_strand[order], diag[order]
+    )
+
+    # cluster breaks: new target/strand or diagonal jump
+    brk = np.empty(len(tid), dtype=bool)
+    brk[0] = True
+    brk[1:] = (
+        (tid[1:] != tid[:-1])
+        | (rel_strand[1:] != rel_strand[:-1])
+        | (np.abs(diag[1:] - diag[:-1]) > p.diag_tolerance)
+    )
+    cluster = np.cumsum(brk) - 1
+    n_clusters = cluster[-1] + 1
+
+    rows: List[tuple] = []
+    q_len = len(q_codes)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(tid))
+    for s, e in zip(starts, ends):
+        count = e - s
+        if count < p.min_count:
+            continue
+        t = int(tid[s])
+        qs, qe = int(qq[s:e].min()), int(qq[s:e].max()) + p.k - 1
+        ts, te = int(tpos[s:e].min()), int(tpos[s:e].max()) + p.k - 1
+        # dovetail end-extension: seeds stop at the last shared
+        # minimizer; extend the span along the diagonal until one
+        # sequence runs out (what aligner-backed overlappers report)
+        t_len = index.length(t)
+        rev = bool(rel_strand[s])
+        if not rev:
+            ext = min(qs, ts)
+            qs -= ext
+            ts -= ext
+            ext = min(q_len - 1 - qe, t_len - 1 - te)
+            qe += ext
+            te += ext
+        else:
+            ext = min(qs, t_len - 1 - te)
+            qs -= ext
+            te += ext
+            ext = min(q_len - 1 - qe, ts)
+            qe += ext
+            ts -= ext
+        if qe - qs + 1 < p.min_span or te - ts + 1 < p.min_span:
+            continue
+        matches = int(count * p.k * 0.6)
+        span = max(qe - qs + 1, te - ts + 1)
+        matches = min(matches, span)
+        rows.append(
+            (
+                q_name,
+                index.names()[t],
+                (
+                    q_len, qs, qe, bool(rel_strand[s]),
+                    index.length(t), ts, te,
+                    matches, span, 255,
+                ),
+            )
+        )
+    # deterministic target order: by first appearance position in PAF
+    return rows
+
+
+def all_vs_all_piles(
+    reads: Sequence[Tuple[str, np.ndarray]],
+    params: OverlapParams = OverlapParams(),
+    max_support: int = 150,
+) -> Iterator[Pile]:
+    """Self-overlap piles for (name, codes) reads, query order =
+    input order (the reference's PAF streaming order)."""
+    index = MinimizerIndex(params)
+    for name, codes in reads:
+        index.add(name, codes)
+    index.build()
+    for name, codes in reads:
+        rows = map_query(index, name, codes, skip_self=True)
+        if not rows:
+            continue
+        names = [t for _, t, _ in rows]
+        ov = np.array([r for _, _, r in rows], dtype=OVERLAP_DTYPE)
+        order = np.argsort(-ov["matches"], kind="stable")[:max_support]
+        yield Pile(
+            q_name=name,
+            t_names=[names[i] for i in order],
+            ov=ov[order],
+        )
+
+
+def map_to_targets_piles(
+    targets: Sequence[Tuple[str, np.ndarray]],
+    reads: Sequence[Tuple[str, np.ndarray]],
+    params: OverlapParams = OverlapParams(),
+    max_support: int = 20000,
+) -> Iterator[Pile]:
+    """Polishing-shaped piles: for each *target* (contig), the overlaps
+    of all reads mapped onto it, with the contig as the pile query —
+    the role of minimap2 + sort + reformatPAF in the reference
+    (CONSENT-polish:189-193)."""
+    index = MinimizerIndex(params)
+    for name, codes in targets:
+        index.add(name, codes)
+    index.build()
+
+    per_target: Dict[str, Tuple[List[str], List[tuple]]] = {
+        name: ([], []) for name, _ in targets
+    }
+    for name, codes in reads:
+        for q_name, t_name, row in map_query(
+            index, name, codes, skip_self=False
+        ):
+            # swap query<->target so the contig becomes the query
+            (q_len, qs, qe, strand, t_len, ts, te, m, span, mq) = row
+            per_target[t_name][0].append(q_name)
+            per_target[t_name][1].append(
+                (t_len, ts, te, strand, q_len, qs, qe, m, span, mq)
+            )
+
+    for name, _ in targets:
+        t_names, rows = per_target[name]
+        if not rows:
+            continue
+        ov = np.array(rows, dtype=OVERLAP_DTYPE)
+        order = np.argsort(-ov["matches"], kind="stable")[:max_support]
+        yield Pile(
+            q_name=name,
+            t_names=[t_names[i] for i in order],
+            ov=ov[order],
+        )

@@ -27,10 +27,12 @@ _SCORING = align_ops.Scoring(
 )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _spans_jit(q, ql, r, rl):
-    res = align_ops.posterior_align(q, ql, r, rl, _SCORING)
-    s = align_ops.alignment_spans(res)
+    from consent_tpu.ops.consensus import _summary_dispatch
+
+    res = _summary_dispatch(q, ql, r, rl, _SCORING)
+    s = align_ops.summary_spans(res)
     return s.q_begin, s.q_end, s.r_begin, s.r_end, s.valid
 
 
