@@ -51,11 +51,16 @@ def main():
     tpl_d = jnp.asarray(tpl)
     tl_d = jnp.asarray(np.full(B, W, np.int32))
 
+    from consent_tpu.ops.align import Scoring
+
+    scoring = Scoring(max_hgap=16)  # the pipeline's consensus scoring
+
     def chain(k, fr):
         out = None
         for _ in range(k):
             out = cons_ops.consensus_votes(
-                fr, fl_d, tpl_d, tl_d, S=S, min_column_support=2
+                fr, fl_d, tpl_d, tl_d, S=S, min_column_support=2,
+                scoring=scoring,
             )
             # data dependency so calls can't overlap or be elided
             fr = (fr + out.col_base[:, None, :].astype(jnp.uint8)) % 4

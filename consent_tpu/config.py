@@ -58,6 +58,10 @@ class ConsentConfig:
     gap_extend: int = 2
     # Consensus refinement rounds (realign fragments to round-1 consensus).
     consensus_rounds: int = 2
+    # Horizontal-gap cap for the consensus aligner (0 = exact); longer
+    # template deletions route through mismatches and are repaired by
+    # the DBG stage.  Shrinks the kernel's per-row scan.
+    consensus_max_hgap: int = 16
     # Min plurality coverage for a consensus column to override template.
     min_column_support: int = 2
 

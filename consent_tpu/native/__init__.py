@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host library (host.cpp).
+
+Compiled on first use with g++ (cached next to the source); every entry
+point has a NumPy/Python fallback, so the package works without a
+toolchain — the native path is an optimization, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "host.cpp")
+_LIB = os.path.join(_HERE, "libconsent_host.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB],
+            check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+        lib.encode_seq.argtypes = [ctypes.c_char_p, ctypes.c_int64, u8p]
+        lib.revcomp.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.count_kmers.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, i32p
+        ]
+        lib.polish_correction.argtypes = [
+            u8p, u8p, ctypes.c_int64, i32p, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, ctypes.c_int64,
+        ]
+        lib.polish_correction.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def polish_correction_native(codes, solid, counts, k, solid_thresh):
+    """Native DBG repair; returns (codes, solid) or None if the library
+    is unavailable (caller falls back to core.dbg)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    solid = np.ascontiguousarray(
+        np.asarray(solid).astype(np.uint8)
+    )
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    cap = 2 * len(codes) + 256
+    out_c = np.empty(cap, dtype=np.uint8)
+    out_s = np.empty(cap, dtype=np.uint8)
+    n = lib.polish_correction(
+        codes, solid, len(codes), counts, k, solid_thresh,
+        out_c, out_s, cap,
+    )
+    if n < 0:
+        return None
+    return out_c[:n].copy(), out_s[:n].astype(bool)
+
+
+def count_kmers_native(frag_list, k):
+    """Native dense k-mer counting; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not frag_list:
+        return np.zeros(4 ** k, dtype=np.int32)
+    lens = np.array([len(f) for f in frag_list], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    blob = np.concatenate(
+        [np.ascontiguousarray(f, dtype=np.uint8) for f in frag_list]
+    ) if lens.sum() else np.zeros(1, np.uint8)
+    counts = np.zeros(4 ** k, dtype=np.int32)
+    lib.count_kmers(blob, lens, offsets, len(frag_list), k, counts)
+    return counts

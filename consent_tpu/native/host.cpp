@@ -1,0 +1,385 @@
+// Native host-side accelerators for consent_tpu.
+//
+// The reference implements its entire host path in C++ (SURVEY.md §2a);
+// here the host-bound hot loops that stay off the TPU get native
+// implementations, exposed via ctypes (consent_tpu/native/__init__.py),
+// with NumPy fallbacks in the Python layer:
+//
+//   * encode_seq:       ASCII -> 2-bit codes (utils.cpp:21-32 semantics,
+//                       non-ACGT -> T)
+//   * revcomp:          reverse complement on codes
+//   * count_kmers:      dense 4^k table accumulation over fragments
+//   * polish_correction: the DBG repair pass (correctionDBG.cpp:93-205 +
+//                       DBG.cpp link/extendLeft/extendRight), identical
+//                       semantics to consent_tpu/core/dbg.py
+//
+// Build: g++ -O3 -shared -fPIC host.cpp -o libconsent_host.so
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// codec
+
+void encode_seq(const char* seq, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) table[i] = 3;  // non-ACGT -> T
+        table['A'] = table['a'] = 0;
+        table['C'] = table['c'] = 1;
+        table['G'] = table['g'] = 2;
+        table['T'] = table['t'] = 3;
+        init = true;
+    }
+    for (int64_t i = 0; i < n; i++) out[i] = table[(uint8_t)seq[i]];
+}
+
+void revcomp(const uint8_t* codes, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; i++) out[i] = 3 - codes[n - 1 - i];
+}
+
+void count_kmers(const uint8_t* codes, const int64_t* lens,
+                 const int64_t* offsets, int64_t n_frags, int k,
+                 int32_t* counts /* 4^k, caller-zeroed */) {
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    for (int64_t f = 0; f < n_frags; f++) {
+        const uint8_t* s = codes + offsets[f];
+        int64_t n = lens[f];
+        if (n < k) continue;
+        uint64_t km = 0;
+        for (int i = 0; i < k; i++) km = (km << 2) | s[i];
+        counts[km]++;
+        for (int64_t i = k; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            counts[km]++;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// DBG repair (semantics of consent_tpu/core/dbg.py == reference
+// correctionDBG.cpp/DBG.cpp; see the Python module for the behavioral
+// notes)
+
+namespace {
+
+struct Dbg {
+    const int32_t* counts;
+    int k;
+    int solid;
+    uint64_t mask;
+
+    int neighbors_right(uint64_t km, uint64_t* out) const {
+        uint64_t base = (km << 2) & mask;
+        int32_t c[4];
+        uint64_t n[4];
+        int cnt = 0;
+        for (int b = 0; b < 4; b++) {
+            uint64_t x = base | (uint64_t)b;
+            int32_t v = counts[x];
+            if (v >= solid) { c[cnt] = v; n[cnt] = x; cnt++; }
+        }
+        // stable sort desc by count (tiny arrays)
+        for (int i = 1; i < cnt; i++)
+            for (int j = i; j > 0 && c[j] > c[j - 1]; j--) {
+                std::swap(c[j], c[j - 1]);
+                std::swap(n[j], n[j - 1]);
+            }
+        for (int i = 0; i < cnt; i++) out[i] = n[i];
+        return cnt;
+    }
+
+    int neighbors_left(uint64_t km, uint64_t* out) const {
+        uint64_t base = km >> 2;
+        int shift = 2 * (k - 1);
+        int32_t c[4];
+        uint64_t n[4];
+        int cnt = 0;
+        // generation order T,G,C,A (reference's revcomp gymnastics)
+        for (int b = 3; b >= 0; b--) {
+            uint64_t x = base | ((uint64_t)b << shift);
+            int32_t v = counts[x];
+            if (v >= solid) { c[cnt] = v; n[cnt] = x; cnt++; }
+        }
+        for (int i = 1; i < cnt; i++)
+            for (int j = i; j > 0 && c[j] > c[j - 1]; j--) {
+                std::swap(c[j], c[j - 1]);
+                std::swap(n[j], n[j - 1]);
+            }
+        for (int i = 0; i < cnt; i++) out[i] = n[i];
+        return cnt;
+    }
+};
+
+uint64_t codes_to_kmer(const uint8_t* c, int k) {
+    uint64_t v = 0;
+    for (int i = 0; i < k; i++) v = (v << 2) | c[i];
+    return v;
+}
+
+// bounded DFS from src to dst; path codes appended to cur (starts with
+// src's k codes); returns true and leaves the path in cur on success.
+bool link_dfs(const Dbg& g, uint64_t dst, std::unordered_set<uint64_t>& visited,
+              int& branches, int dist, std::vector<uint8_t>& cur,
+              int max_size, int max_branches) {
+    if (branches > max_branches || dist > max_size) return false;
+    uint64_t anchor = 0;
+    for (int i = 0; i < g.k; i++)
+        anchor = (anchor << 2) | cur[cur.size() - g.k + i];
+    if (anchor == dst) return true;
+
+    uint64_t neigh[4];
+    int cnt = g.neighbors_right(anchor, neigh);
+    int it = 0;
+    // greedy while unbranched
+    while (cnt == 1 && it < cnt && dist <= max_size) {
+        uint64_t nx = neigh[it];
+        if (nx == dst) { cur.push_back((uint8_t)(nx & 3)); return true; }
+        if (!visited.count(nx)) {
+            visited.insert(nx);
+            cur.push_back((uint8_t)(nx & 3));
+            dist++;
+            cnt = g.neighbors_right(nx, neigh);
+            it = 0;
+        } else {
+            it++;
+        }
+    }
+    // branch exploration with backtracking
+    while (cnt > 1 && it < cnt && dist <= max_size) {
+        uint64_t nx = neigh[it];
+        if (nx == dst) { cur.push_back((uint8_t)(nx & 3)); return true; }
+        if (!visited.count(nx)) {
+            visited.insert(nx);
+            branches++;
+            size_t mark = cur.size();
+            cur.push_back((uint8_t)(nx & 3));
+            if (link_dfs(g, dst, visited, branches, dist + 1, cur,
+                         max_size, max_branches))
+                return true;
+            cur.resize(mark);
+            it++;
+        } else {
+            it++;
+        }
+    }
+    return false;
+}
+
+int next_src(const uint8_t* solid, int len, int beg, int n) {
+    int nb = 0, i = beg;
+    while (i < len && (solid[i] || nb < n)) {
+        nb = solid[i] ? nb + 1 : 0;
+        i++;
+    }
+    return nb >= n ? i - 1 : -1;
+}
+
+int next_dst(const uint8_t* solid, int len, int beg, int n) {
+    int nb = 0, i = beg;
+    while (i < len && nb < n) {
+        nb = solid[i] ? nb + 1 : 0;
+        i++;
+    }
+    return nb >= n ? i - 1 : -1;
+}
+
+struct Anchor {
+    uint64_t skm, dkm;
+    int spos, dpos;
+    int64_t score;
+};
+
+}  // namespace
+
+// Returns output length, or -1 if out_cap is too small.
+int64_t polish_correction(
+    const uint8_t* in_codes, const uint8_t* in_solid, int64_t in_len,
+    const int32_t* counts, int k, int solid_thresh,
+    uint8_t* out_codes, uint8_t* out_solid, int64_t out_cap) {
+    const int ZONE = 3, MAX_BRANCHES = 50, ANCHORS_NB = 5;
+    Dbg g{counts, k, solid_thresh,
+          (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1)};
+
+    std::vector<uint8_t> codes(in_codes, in_codes + in_len);
+    std::vector<uint8_t> solid(in_solid, in_solid + in_len);
+    std::unordered_set<uint64_t> visited;
+    int64_t tmp_src_beg = 0, tmp_src_end = 0, tmp_dst_beg = 0,
+            tmp_dst_end = 0;
+
+    // ---- weak head extension ----
+    int64_t L = (int64_t)codes.size();
+    int64_t i = 0;
+    while (i < L && !solid[i]) i++;
+    if (i > 0 && i < L && L - i >= k) {
+        int ext_len = (int)i;
+        std::vector<uint8_t> trimmed_c(codes.begin() + i, codes.end());
+        std::vector<uint8_t> trimmed_s(solid.begin() + i, solid.end());
+        // extend left while the path is unique
+        std::vector<uint8_t> ext;
+        uint64_t km = codes_to_kmer(trimmed_c.data(), k);
+        int dist = 0;
+        uint64_t neigh[4];
+        int cnt = g.neighbors_left(km, neigh);
+        while (cnt == 1 && dist < ext_len) {
+            km = neigh[0];
+            ext.push_back((uint8_t)((km >> (2 * (k - 1))) & 3));
+            dist++;
+            cnt = g.neighbors_left(km, neigh);
+        }
+        std::vector<uint8_t> nc, ns;
+        if (dist < ext_len) {
+            int keep = ext_len - dist;
+            nc.insert(nc.end(), codes.begin(), codes.begin() + keep);
+            ns.insert(ns.end(), solid.begin(), solid.begin() + keep);
+            i = i - keep;
+        }
+        for (auto it = ext.rbegin(); it != ext.rend(); ++it) {
+            nc.push_back(*it);
+            ns.push_back(1);
+        }
+        nc.insert(nc.end(), trimmed_c.begin(), trimmed_c.end());
+        ns.insert(ns.end(), trimmed_s.begin(), trimmed_s.end());
+        codes.swap(nc);
+        solid.swap(ns);
+    }
+
+    // ---- interior weak regions ----
+    L = (int64_t)codes.size();
+    while (i < L) {
+        int src_end = next_src(solid.data(), (int)L, (int)i, k + ZONE);
+        int dst_end = src_end != -1
+                          ? next_dst(solid.data(), (int)L, src_end + 1,
+                                     k + ZONE)
+                          : -1;
+        if (src_end == -1 || dst_end == -1) break;
+        int src_beg = src_end - (k + ZONE) + 1;
+        int dst_beg = dst_end - (k + ZONE) + 1;
+
+        // anchors: unique k-mers of each zone, paired, ranked
+        std::vector<Anchor> anchors;
+        {
+            const int zn = k + ZONE - k + 1;  // k-mers per zone
+            uint64_t skm[8], dkm[8];
+            int scnt[8] = {0}, dcnt[8] = {0};
+            for (int p = 0; p < zn; p++) {
+                skm[p] = codes_to_kmer(codes.data() + src_beg + p, k);
+                dkm[p] = codes_to_kmer(codes.data() + dst_beg + p, k);
+            }
+            for (int p = 0; p < zn; p++)
+                for (int q = 0; q < zn; q++) {
+                    if (skm[q] == skm[p]) scnt[p]++;
+                    if (dkm[q] == dkm[p]) dcnt[p]++;
+                }
+            std::vector<Anchor> all;
+            for (int p = 0; p < zn; p++) {
+                if (scnt[p] != 1) continue;
+                for (int q = 0; q < zn; q++) {
+                    if (dcnt[q] != 1) continue;
+                    all.push_back(
+                        {skm[p], dkm[q], p, q,
+                         (int64_t)counts[skm[p]] + counts[dkm[q]]});
+                }
+            }
+            // stable sort desc by score
+            for (size_t a = 1; a < all.size(); a++)
+                for (size_t b = a;
+                     b > 0 && all[b].score > all[b - 1].score; b--)
+                    std::swap(all[b], all[b - 1]);
+            for (size_t a = 0; a < all.size() && a < ANCHORS_NB; a++)
+                anchors.push_back(all[a]);
+        }
+
+        bool found = false;
+        std::vector<uint8_t> region;
+        for (const Anchor& an : anchors) {
+            if (found) break;
+            tmp_src_beg = src_beg + an.spos;
+            tmp_src_end = tmp_src_beg + k - 1;
+            tmp_dst_beg = dst_beg + an.dpos;
+            tmp_dst_end = tmp_dst_beg + k - 1;
+            if (an.skm != an.dkm) {
+                int64_t gap = tmp_dst_beg - tmp_src_end - 1;
+                int max_size = (int)(15.0 / 100.0 * 2.0 * gap + gap + k);
+                int branches = 0;
+                region.assign(codes.begin() + tmp_src_beg,
+                              codes.begin() + tmp_src_end + 1);
+                found = link_dfs(g, an.dkm, visited, branches, 0, region,
+                                 max_size, MAX_BRANCHES);
+            }
+        }
+
+        if (found) {
+            // first occurrence of the (codes, solid) pattern
+            int64_t plen = tmp_dst_end - tmp_src_beg + 1;
+            int64_t b = -1;
+            for (int64_t p = 0; p + plen <= L; p++) {
+                bool eq = true;
+                for (int64_t x = 0; x < plen && eq; x++) {
+                    eq = codes[p + x] == codes[tmp_src_beg + x] &&
+                         solid[p + x] == solid[tmp_src_beg + x];
+                }
+                if (eq) { b = p; break; }
+            }
+            if (b != -1) {
+                std::vector<uint8_t> nc, ns;
+                nc.reserve(L + region.size());
+                nc.insert(nc.end(), codes.begin(), codes.begin() + b);
+                nc.insert(nc.end(), region.begin(), region.end());
+                nc.insert(nc.end(), codes.begin() + b + plen, codes.end());
+                ns.insert(ns.end(), solid.begin(), solid.begin() + b);
+                ns.insert(ns.end(), region.size(), 1);
+                ns.insert(ns.end(), solid.begin() + b + plen, solid.end());
+                codes.swap(nc);
+                solid.swap(ns);
+                L = (int64_t)codes.size();
+                i = b;
+            } else {
+                i = tmp_dst_beg > i ? tmp_dst_beg : dst_beg;
+            }
+        } else {
+            i = tmp_dst_beg > i ? tmp_dst_beg : dst_beg;
+        }
+    }
+
+    // ---- weak tail extension ----
+    L = (int64_t)codes.size();
+    i = L - 1;
+    while (i > 0 && !solid[i]) i--;
+    if (i > 0 && i < L - 1 && i + 1 >= k) {
+        int ext_len = (int)(L - 1 - i);
+        std::vector<uint8_t> old_c = codes, old_s = solid;
+        codes.resize(i + 1);
+        solid.resize(i + 1);
+        // extend right following the best neighbor (branching or not)
+        uint64_t km = codes_to_kmer(codes.data() + codes.size() - k, k);
+        int dist = 0;
+        uint64_t neigh[4];
+        int cnt = g.neighbors_right(km, neigh);
+        while (cnt > 0 && dist < ext_len) {
+            km = neigh[0];
+            codes.push_back((uint8_t)(km & 3));
+            solid.push_back(1);
+            dist++;
+            cnt = g.neighbors_right(km, neigh);
+        }
+        if (dist < ext_len) {
+            int keep = ext_len - dist;
+            codes.insert(codes.end(), old_c.end() - keep, old_c.end());
+            solid.insert(solid.end(), old_s.end() - keep, old_s.end());
+        }
+    }
+
+    if ((int64_t)codes.size() > out_cap) return -1;
+    std::memcpy(out_codes, codes.data(), codes.size());
+    std::memcpy(out_solid, solid.data(), solid.size());
+    return (int64_t)codes.size();
+}
+
+}  // extern "C"

@@ -51,6 +51,12 @@ class Scoring(NamedTuple):
     mismatch: int = -4
     gap_open: int = 4     # cost of the first base of a gap
     gap_extend: int = 2   # cost of each further base
+    # Maximum horizontal (reference-consuming) gap length the DP scores;
+    # 0 = unlimited (exact affine SW).  A cap of 2^k shrinks the per-row
+    # prefix-max scan to k steps — the consensus path uses 16 (longer
+    # template deletions are instead routed through mismatches and
+    # repaired by the DBG stage); the stitch path stays exact.
+    max_hgap: int = 0
 
 
 INS_PACK = 16  # inserted bases packed 2-bit into one int32 per column
@@ -74,14 +80,31 @@ class PosteriorSummary(NamedTuple):
     ins_pack: jnp.ndarray   # [N, Lr] int32
 
 
-def _prefix_max_exclusive(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Exclusive running max along `axis` (identity NEG)."""
-    inc = jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+def _prefix_max_exclusive(x: jnp.ndarray, axis: int,
+                          max_window: int = 0) -> jnp.ndarray:
+    """Exclusive running max along `axis` (identity NEG).  With
+    max_window = G > 0, the max only looks back G entries (capped-gap
+    scoring, see Scoring.max_hgap)."""
+    L = x.shape[axis]
+    if max_window and max_window < L:
+        inc = x
+        s = 1
+        while s < max_window:
+            shifted = jnp.full_like(inc, NEG)
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(s, None)
+            src = [slice(None)] * x.ndim
+            src[axis] = slice(0, L - s)
+            shifted = shifted.at[tuple(idx)].set(inc[tuple(src)])
+            inc = jnp.maximum(inc, shifted)
+            s *= 2
+    else:
+        inc = jax.lax.associative_scan(jnp.maximum, x, axis=axis)
     pad = [(0, 0)] * x.ndim
     pad[axis] = (1, 0)
     shifted = jnp.pad(inc, pad, constant_values=NEG)
     index = [slice(None)] * x.ndim
-    index[axis] = slice(0, x.shape[axis])
+    index[axis] = slice(0, L)
     return shifted[tuple(index)]
 
 
@@ -120,7 +143,8 @@ def posterior_summary(
         f = jnp.maximum(h_prev - open_, f_prev - ext).astype(jnp.int16)
         ht = jnp.maximum(jnp.maximum(hm, f), 0).astype(jnp.int16)
         e = (
-            _prefix_max_exclusive(ht + jcost, axis=1) - jcost - (open_ - ext)
+            _prefix_max_exclusive(ht + jcost, axis=1, max_window=sc.max_hgap)
+            - jcost - (open_ - ext)
         ).astype(jnp.int16)
         h = jnp.maximum(ht, e)
         h = jnp.where(valid[:, None], h, h_prev)
@@ -150,7 +174,9 @@ def posterior_summary(
         bf = jnp.maximum(bh_next - open_, bf_next - ext).astype(jnp.int16)
         bt = jnp.maximum(jnp.maximum(bm, bf), 0).astype(jnp.int16)
         be = (
-            _prefix_max_exclusive((bt - jcost)[:, ::-1], axis=1)[:, ::-1]
+            _prefix_max_exclusive(
+                (bt - jcost)[:, ::-1], axis=1, max_window=sc.max_hgap
+            )[:, ::-1]
             + jcost - (open_ - ext)
         ).astype(jnp.int16)
         bh = jnp.maximum(bt, be)

@@ -58,7 +58,8 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     rvec = r_ref[:]
     rmask = col < rlen_ref[:]          # [TILE_N, 1] -> broadcast
     qlen = qlen_ref[:]                 # [TILE_N, 1]
-    log_steps = max(1, int(np.ceil(np.log2(W))))
+    gap_span = sc.max_hgap if sc.max_hgap else W
+    log_steps = max(1, int(np.ceil(np.log2(min(gap_span, W)))))
 
     def prefix_max_incl(x):
         for s in (2 ** p for p in range(log_steps)):

@@ -70,6 +70,7 @@ class ConsensusEngine:
             mismatch=cfg.mismatch_score,
             gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend,
+            max_hgap=cfg.consensus_max_hgap,
         )
         # fragment slots cap: template + maxMSA support fragments
         self.s_cap = S_BUCKETS[-1]
@@ -142,17 +143,28 @@ class ConsensusEngine:
                 cur_tlen[b] = L
 
         # host post-processing: counts, weighting, DBG polish
+        # (native C++ fast paths with Python fallbacks)
+        from consent_tpu import native
+
         for b, t in enumerate(ts):
             cons = cons_list[b][: self.Lt]
             use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
-            dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
+            dense = native.count_kmers_native(use, cfg.mer_size)
+            if dense is None:
+                dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
             if len(cons) >= cfg.mer_size:
                 solid = kmer_ops.solidity_mask(
                     cons, dense, cfg.mer_size, cfg.solid_thresh
                 )
-                cons, solid = dbg_mod.polish_correction(
+                res = native.polish_correction_native(
                     cons, solid, dense, cfg.mer_size, cfg.solid_thresh
                 )
+                if res is not None:
+                    cons, solid = res
+                else:
+                    cons, solid = dbg_mod.polish_correction(
+                        cons, solid, dense, cfg.mer_size, cfg.solid_thresh
+                    )
             else:
                 # too short for weighting: reference skips weighting and
                 # polish (correctionMSA.cpp:43-46); keep as weak
