@@ -1,0 +1,96 @@
+"""CLI smoke tests driving the full drivers on tiny simulated data."""
+
+import numpy as np
+import pytest
+
+from consent_tpu import cli
+from consent_tpu.io import seqs
+from consent_tpu.io.fasta import iter_fastx
+from consent_tpu.testing import metrics, simulate
+
+
+@pytest.fixture(scope="module")
+def small_dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    genome, reads = simulate.simulate(
+        genome_len=2000, coverage=10.0, read_len=700,
+        error_rate=0.08, seed=21,
+    )
+    reads_fa = tmp / "reads.fasta"
+    with open(reads_fa, "w") as f:
+        for r in reads:
+            f.write(f">{r.name}\n{seqs.decode(r.codes)}\n")
+    draft, _ = simulate.mutate(genome, np.random.default_rng(1), 0.02)
+    asm_fa = tmp / "draft.fasta"
+    with open(asm_fa, "w") as f:
+        f.write(f">contig1\n{seqs.decode(draft)}\n")
+    return tmp, genome, reads, draft, reads_fa, asm_fa
+
+
+def test_cli_correct(small_dataset):
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    out = tmp / "corrected.fasta"
+    rc = cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native",
+    ])
+    assert rc == 0
+    recs = dict(iter_fastx(str(out)))
+    assert len(recs) >= len(reads) * 0.5
+    by_name = {r.name: r for r in reads}
+    ids = []
+    for name, seq in recs.items():
+        r = by_name[name]
+        truth = genome[r.g_beg : r.g_end]
+        if r.reverse:
+            truth = seqs.revcomp(truth)
+        ids.append(metrics.identity(seqs.encode(seq), truth))
+    assert float(np.mean(ids)) > 0.94
+
+
+def test_cli_polish(small_dataset):
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    out = tmp / "polished.fasta"
+    rc = cli.main_polish([
+        "--contigs", str(asm_fa), "--reads", str(reads_fa),
+        "--out", str(out),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native",
+    ])
+    assert rc == 0
+    recs = dict(iter_fastx(str(out)))
+    assert "contig1" in recs
+    polished = seqs.encode(recs["contig1"])
+    assert metrics.identity(polished, genome) > metrics.identity(
+        draft, genome
+    )
+
+
+def test_cli_correct_from_paf(small_dataset):
+    """Drive the --paf input path (the reference's minimap2 contract)."""
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    # synthesize a PAF from exact overlaps
+    paf = tmp / "overlaps.paf"
+    with open(paf, "w") as f:
+        for a in reads:
+            for b in reads:
+                if a.name == b.name:
+                    continue
+                ov = simulate.true_overlap(a, b)
+                if ov is None:
+                    continue
+                (qlen, qs, qe, strand, tlen, ts, te, m, blk, mq) = ov
+                f.write(
+                    f"{a.name}\t{qlen}\t{qs}\t{qe + 1}\t"
+                    f"{'-' if strand else '+'}\t{b.name}\t{tlen}\t{ts}\t"
+                    f"{te + 1}\t{m}\t{blk}\t{mq}\n"
+                )
+    out = tmp / "corrected_paf.fasta"
+    rc = cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out), "--paf", str(paf),
+        "--windowSize", "200", "--windowOverlap", "20",
+    ])
+    assert rc == 0
+    recs = dict(iter_fastx(str(out)))
+    assert len(recs) >= len(reads) * 0.5
