@@ -52,6 +52,14 @@ def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
         default="auto",
     )
     p.add_argument("--consensus-rounds", type=int, default=1)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="chunk-level checkpoint/resume under <out>.chunks/",
+    )
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage timing stats to stderr")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
 
 
 def _cfg_from_args(args, correct: bool):
@@ -130,18 +138,64 @@ def main_correct(argv=None) -> int:
     cfg = _cfg_from_args(args, correct=True)
     index = ReadIndex.from_file(args.infile)
     piles = _correct_pile_stream(args, index)
-
-    n_in = n_out = 0
-    with open(args.out, "w") as out:
-        for name, codes, solid in engine.process_piles(piles, index, cfg):
-            n_in += 1
-            if len(codes) == 0:
-                continue
-            n_out += 1
-            write_fasta_record(out, name, seqs.decode(codes, solid))
+    n_in, n_out = _drive(piles, index, cfg, args, "consent-correct")
     print(f"[consent-correct] {n_out}/{n_in} reads corrected -> {args.out}",
           file=sys.stderr)
     return 0
+
+
+CHUNK_PILES = 256
+
+
+def _drive(piles, index, cfg, args, label):
+    """Run the pipeline over a pile stream with optional chunk-level
+    resume, stage stats, and profiler tracing."""
+    from consent_tpu.utils.observe import GLOBAL_STATS, profiler_trace
+
+    n_in = n_out = 0
+    piles = iter(piles)
+
+    with profiler_trace(args.profile_dir):
+        if args.resume:
+            from consent_tpu.pipeline.checkpoint import ChunkStore
+
+            store = ChunkStore(args.out)
+            skip = store.n_complete_prefix()
+            for _ in range(skip * CHUNK_PILES):
+                if next(piles, None) is None:
+                    break
+            chunk_idx = skip
+            records = []
+            with GLOBAL_STATS.timer(f"{label}.pipeline"):
+                for name, codes, solid in engine.process_piles(
+                    piles, index, cfg
+                ):
+                    n_in += 1
+                    if len(codes):
+                        n_out += 1
+                        records.append((name, seqs.decode(codes, solid)))
+                    if n_in % CHUNK_PILES == 0:
+                        store.write_chunk(chunk_idx, records)
+                        chunk_idx += 1
+                        records = []
+                if n_in % CHUNK_PILES != 0 or records:
+                    store.write_chunk(chunk_idx, records)
+            store.assemble(args.out)
+        else:
+            with open(args.out, "w") as out, GLOBAL_STATS.timer(
+                f"{label}.pipeline"
+            ):
+                for name, codes, solid in engine.process_piles(
+                    piles, index, cfg
+                ):
+                    n_in += 1
+                    if len(codes) == 0:
+                        continue
+                    n_out += 1
+                    write_fasta_record(out, name, seqs.decode(codes, solid))
+    if args.stats:
+        GLOBAL_STATS.report()
+    return n_in, n_out
 
 
 def _polish_pile_stream(args, contig_index, read_index):
@@ -197,15 +251,7 @@ def main_polish(argv=None) -> int:
         merged.add(n, read_index[n])
 
     piles = _polish_pile_stream(args, contig_index, read_index)
-
-    n_in = n_out = 0
-    with open(args.out, "w") as out:
-        for name, codes, solid in engine.process_piles(piles, merged, cfg):
-            n_in += 1
-            if len(codes) == 0:
-                continue
-            n_out += 1
-            write_fasta_record(out, name, seqs.decode(codes, solid))
+    n_in, n_out = _drive(piles, merged, cfg, args, "consent-polish")
     print(f"[consent-polish] {n_out}/{n_in} contigs polished -> {args.out}",
           file=sys.stderr)
     return 0

@@ -1,0 +1,72 @@
+"""Chunk-level checkpoint / resume.
+
+The reference restarts from scratch on failure (its only intermediate
+artifact is the temp PAF; SURVEY.md §5).  Here the pile stream is cut
+into fixed-size chunks; each completed chunk's corrected records land
+in `<out>.chunks/chunk_NNNNNN.fasta` with a manifest line, so a rerun
+skips completed chunks and reprocesses only the tail.  Output assembly
+concatenates chunks in order — byte-identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+
+class ChunkStore:
+    def __init__(self, out_path: str):
+        self.dir = out_path + ".chunks"
+        self.manifest = os.path.join(self.dir, "MANIFEST.jsonl")
+        os.makedirs(self.dir, exist_ok=True)
+        self._done = {}
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    self._done[rec["chunk"]] = rec
+
+    def chunk_path(self, idx: int) -> str:
+        return os.path.join(self.dir, f"chunk_{idx:06d}.fasta")
+
+    def is_done(self, idx: int) -> bool:
+        rec = self._done.get(idx)
+        return bool(rec) and os.path.exists(self.chunk_path(idx))
+
+    def write_chunk(self, idx: int, records: List[Tuple[str, str]]) -> None:
+        """records: (name, sequence-with-case) in pile order; atomic."""
+        tmp = self.chunk_path(idx) + ".tmp"
+        with open(tmp, "w") as f:
+            for name, seq in records:
+                f.write(f">{name}\n{seq}\n")
+        os.replace(tmp, self.chunk_path(idx))
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps({"chunk": idx, "n": len(records)}) + "\n")
+        self._done[idx] = {"chunk": idx, "n": len(records)}
+
+    def assemble(self, out_path: str) -> int:
+        """Concatenate completed chunks (in order, stopping at the first
+        gap) into the final output; returns records written."""
+        n = 0
+        with open(out_path, "w") as out:
+            idx = 0
+            while self.is_done(idx):
+                with open(self.chunk_path(idx)) as f:
+                    for line in f:
+                        out.write(line)
+                        if line.startswith(">"):
+                            n += 1
+                idx += 1
+        return n
+
+    def n_complete_prefix(self) -> int:
+        idx = 0
+        while self.is_done(idx):
+            idx += 1
+        return idx

@@ -94,3 +94,29 @@ def test_cli_correct_from_paf(small_dataset):
     assert rc == 0
     recs = dict(iter_fastx(str(out)))
     assert len(recs) >= len(reads) * 0.5
+
+
+def test_cli_correct_resume(small_dataset, tmp_path):
+    """Interrupted-run resume: a completed chunk is not recomputed and
+    the final output matches a fresh run."""
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    out1 = tmp_path / "fresh.fasta"
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out1),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native",
+    ])
+    out2 = tmp_path / "resumed.fasta"
+    # first pass with --resume writes chunks; second pass resumes (all
+    # chunks complete -> just assembles)
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out2),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native", "--resume",
+    ])
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out2),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native", "--resume",
+    ])
+    assert open(out1).read() == open(out2).read()
