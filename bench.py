@@ -25,6 +25,8 @@ BASELINE_WINDOWS_PER_S = 620.0
 
 
 def main():
+    from consent_tpu.utils.jaxcache import enable as _enable_cache
+    _enable_cache()
     import jax
     import jax.numpy as jnp
 

@@ -24,6 +24,9 @@ import tempfile
 import numpy as np
 
 from consent_tpu.config import correct_preset, polish_preset
+from consent_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
 from consent_tpu.io import paf as paf_mod
 from consent_tpu.io import seqs
 from consent_tpu.io.fasta import ReadIndex, iter_fastx, write_fasta_record

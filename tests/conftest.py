@@ -13,3 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from consent_tpu.utils.jaxcache import enable  # noqa: E402
+
+enable()
