@@ -1,21 +1,19 @@
 """Fused Pallas TPU kernel for the posterior alignment.
 
-Same contract as ops/align.py:posterior_summary, but the whole
-forward + backward DP runs inside ONE kernel per lane-tile:
+Same contract as ops/align.py:posterior_summary, the whole
+forward + backward DP in ONE kernel per lane-tile:
 
-  * per-row DP states (H, F / BH, BF) live in VMEM registers,
-  * the match-entering score matrix (hm) is staged in a VMEM scratch —
-    it never round-trips through HBM,
-  * the within-row affine-gap dependency is a log2(W)-step shift-max
-    prefix scan on the VPU,
+  * per-row DP states (H, F / BH, BF) live in VMEM,
+  * the match-entering score rows (hm) stream to an HBM scratch with
+    double-buffered async DMA — freeing VMEM lets one program carry a
+    64-lane tile, which is what keeps the VPU pipelines full (an
+    8-lane tile leaves them mostly idle on [8, W] operands),
+  * the within-row affine-gap dependency is a shift-max prefix scan on
+    the VPU (log2(max_hgap or W) steps),
   * the backward pass folds the match posterior into per-column
-    summaries (matched / i_first / i_last) written straight to the
-    output block.
-
-The XLA-scan implementation in ops/align.py issues ~2*Lq sequential
-fused regions per call; this kernel replaces them with one Mosaic
-program per 8-lane tile, which is where the ~2 orders of magnitude of
-hot-path throughput come from (see bench.py).
+    summaries (matched / i_first / i_last / aligned base / 2-bit-packed
+    insertion window) written straight to the output block — the vote
+    glue downstream needs no gathers.
 
 Grid: (N / TILE_N,) — programs run sequentially on the core; each
 handles TILE_N query/ref lane pairs.
@@ -33,21 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from consent_tpu.ops.align import INS_PACK, NEG, PosteriorSummary, Scoring
 
-
-def _pick_tile(Lq: int, W: int, budget_bytes: int = 10 * 2 ** 20) -> int:
-    """Lane-tile size so the hm scratch fits the VMEM budget."""
-    per_lane = Lq * W * 4
-    t = budget_bytes // per_lane
-    for cand in (16, 8, 4, 2, 1):
-        if t >= cand:
-            return cand
-    return 1
+TILE_LANES = 128
 
 
 def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
             opt_ref, matched_ref, ifirst_ref, ilast_ref,
-            base_ref, inspack_ref,
-            hm_ref, h_ref, f_ref, optv_ref,
+            base_ref, inspack_ref, hm_hbm,
+            row_buf, dma_sem, h_ref, f_ref, optv_ref,
             *, Lq: int, W: int, sc: Scoring):
     match, mismatch = sc.match, sc.mismatch
     open_, ext = sc.gap_open, sc.gap_extend
@@ -85,12 +75,28 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         sub = jnp.where(qcol == rvec, match, mismatch)
         return jnp.where(valid & rmask, sub, NEG), valid, qcol, qrot
 
+    def hm_dma(i, slot):
+        return pltpu.make_async_copy(
+            row_buf.at[slot], hm_hbm.at[i], dma_sem.at[slot]
+        )
+
+    def hm_fetch(i, slot):
+        return pltpu.make_async_copy(
+            hm_hbm.at[i], row_buf.at[slot], dma_sem.at[slot]
+        )
+
     # ---------------- forward ----------------
     h_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     f_ref[:] = jnp.full((TILE_N, W), NEG, jnp.int32)
     optv_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
 
     def fwd_body(i, _):
+        slot = jax.lax.rem(i, 2)
+        # the copy issued two rows ago reused this slot — wait for it
+        @pl.when(i >= 2)
+        def _():
+            hm_dma(i - 2, slot).wait()
+
         sub, valid, _, _ = sub_row(i)
         h_prev = h_ref[:]
         f_prev = f_ref[:]
@@ -104,11 +110,15 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         h = jnp.maximum(ht, e)
         h_ref[:] = jnp.where(valid, h, h_prev)
         f_ref[:] = jnp.where(valid, f, f_prev)
-        hm_ref[pl.ds(i, 1)] = hm[None]
+        row_buf[slot] = hm
+        hm_dma(i, slot).start()
         optv_ref[:] = jnp.maximum(optv_ref[:], hm)
         return 0
 
     jax.lax.fori_loop(0, Lq, fwd_body, 0)
+    # drain the last two stores
+    hm_dma(Lq - 2, jax.lax.rem(Lq - 2, 2)).wait()
+    hm_dma(Lq - 1, jax.lax.rem(Lq - 1, 2)).wait()
 
     opt = jnp.max(optv_ref[:], axis=1, keepdims=True)   # [TILE_N, 1]
     opt = jnp.maximum(opt, 0)
@@ -125,15 +135,27 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     inspack_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     pos_opt = opt > 0
 
+    # prefetch the last row
+    hm_fetch(Lq - 1, jax.lax.rem(Lq - 1, 2)).start()
+
     def bwd_body(t, _):
         i = Lq - 1 - t
+        slot = jax.lax.rem(i, 2)
+        hm_fetch(i, slot).wait()
+        hm_row = row_buf[slot]
+        # prefetch the next (lower) row into the other slot
+        @pl.when(i >= 1)
+        def _():
+            hm_fetch(i - 1, 1 - slot).start()
+
         sub, valid, qcol, qrot = sub_row(i)
         bh_next = h_ref[:]
         bf_next = f_ref[:]
-        bh_diag = jnp.where(col <= W - 2, pltpu.roll(bh_next, W - 1, axis=1), 0)
-        bm = sub + bh_diag
+        bh_diag = jnp.where(
+            col <= W - 2, pltpu.roll(bh_next, W - 1, axis=1), 0
+        )
         bf = jnp.maximum(bh_next - open_, bf_next - ext)
-        bt = jnp.maximum(jnp.maximum(bm, bf), 0)
+        bt = jnp.maximum(jnp.maximum(sub + bh_diag, bf), 0)
         s = suffix_max_incl(bt - jcost)
         se = jnp.where(col <= W - 2, pltpu.roll(s, W - 1, axis=1), NEG)
         be = se + jcost - (open_ - ext)
@@ -141,7 +163,6 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         h_ref[:] = jnp.where(valid, bh, bh_next)
         f_ref[:] = jnp.where(valid, bf, bf_next)
 
-        hm_row = hm_ref[pl.ds(i, 1)][0]
         on_path = (
             (hm_row + bh_diag == opt)
             & (hm_row > NEG // 2)
@@ -164,7 +185,9 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     jax.lax.fori_loop(0, Lq, bwd_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sc", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sc", "interpret", "tile_lanes")
+)
 def pallas_posterior_summary(
     q: jnp.ndarray,       # [N, Lq] uint8/int32 codes
     q_len: jnp.ndarray,   # [N] int32
@@ -172,11 +195,12 @@ def pallas_posterior_summary(
     r_len: jnp.ndarray,   # [N] int32
     sc: Scoring = Scoring(),
     interpret: bool = False,
+    tile_lanes: int = TILE_LANES,
 ) -> PosteriorSummary:
     N, Lq = q.shape
     W = r.shape[1]
     assert W % 128 == 0, f"ref length {W} must be a multiple of 128"
-    TILE_N = _pick_tile(Lq, W)
+    TILE_N = tile_lanes
     n_pad = (-N) % TILE_N
     if n_pad:
         q = jnp.pad(q, ((0, n_pad), (0, 0)))
@@ -192,12 +216,9 @@ def pallas_posterior_summary(
     seq_spec = lambda L: pl.BlockSpec(
         (TILE_N, L), lambda t: (t, 0), memory_space=pltpu.VMEM
     )
-    out_spec = lambda L: pl.BlockSpec(
-        (TILE_N, L), lambda t: (t, 0), memory_space=pltpu.VMEM
-    )
 
     kernel = functools.partial(_kernel, Lq=Lq, W=W, sc=sc)
-    opt, matched, i_first, i_last, base, ins_pack = pl.pallas_call(
+    opt, matched, i_first, i_last, base, ins_pack, _hm = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -207,12 +228,16 @@ def pallas_posterior_summary(
             seq_spec(W),            # r
         ],
         out_specs=[
-            out_spec(1),            # opt
-            out_spec(W),            # matched
-            out_spec(W),            # i_first
-            out_spec(W),            # i_last
-            out_spec(W),            # base
-            out_spec(W),            # ins_pack
+            seq_spec(1),            # opt
+            seq_spec(W),            # matched
+            seq_spec(W),            # i_first
+            seq_spec(W),            # i_last
+            seq_spec(W),            # base
+            seq_spec(W),            # ins_pack
+            # hm staging buffer: unblocked, HBM-resident, reused by the
+            # (sequential) grid programs; contents are scratch, the
+            # caller discards it (Mosaic has no HBM scratch_shapes)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np, 1), jnp.int32),
@@ -221,15 +246,20 @@ def pallas_posterior_summary(
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Lq, TILE_N, W), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lq, TILE_N, W), jnp.int32),   # hm
-            pltpu.VMEM((TILE_N, W), jnp.int32),       # h / bh
-            pltpu.VMEM((TILE_N, W), jnp.int32),       # f / bf
-            pltpu.VMEM((TILE_N, W), jnp.int32),       # optv
+            pltpu.VMEM((2, TILE_N, W), jnp.int32),              # row buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # h / bh
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # f / bf
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # optv
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(Lq * TILE_N * W * 4 + 8 * 2 ** 20),
+            vmem_limit_bytes=int(
+                (6 * TILE_N * W + 2 * TILE_N * W + TILE_N * Lq) * 4
+                + 8 * 2 ** 20
+            ),
         ),
         interpret=interpret,
     )(

@@ -36,7 +36,7 @@ from consent_tpu.ops.align import Scoring
 from consent_tpu.pipeline import stitch as stitch_mod
 
 S_BUCKETS = (4, 8, 16, 32, 64, 96, 152)
-MAX_LANES = 512       # B*S cap per device consensus call
+MAX_LANES = 1024      # B*S cap per device consensus call
 
 
 @dataclasses.dataclass
