@@ -63,6 +63,11 @@ def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
                    help="print per-stage timing stats to stderr")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--process-index", type=int, default=None,
+                   help="multi-host: this host's index (piles shard "
+                        "round-robin; output goes to <out>.shardNNNNN)")
+    p.add_argument("--process-count", type=int, default=None,
+                   help="multi-host: total hosts")
 
 
 def _cfg_from_args(args, correct: bool):
@@ -152,11 +157,43 @@ CHUNK_PILES = 256
 
 def _drive(piles, index, cfg, args, label):
     """Run the pipeline over a pile stream with optional chunk-level
-    resume, stage stats, and profiler tracing."""
+    resume, multi-host sharding, stage stats, and profiler tracing."""
     from consent_tpu.utils.observe import GLOBAL_STATS, profiler_trace
 
     n_in = n_out = 0
     piles = iter(piles)
+
+    # multi-host: process this host's shard, write ordinal-tagged shard
+    # output, done (merge with consent-merge-shards / multihost.merge_shards)
+    if args.process_count and args.process_count > 1:
+        from consent_tpu.parallel import multihost
+
+        idx = args.process_index or 0
+        tagged = []
+        my_ordinals = []
+        ordinals_piles = (
+            (i, p) for i, p in enumerate(piles)
+            if i % args.process_count == idx
+        )
+        ords, shard = [], []
+        for i, p in ordinals_piles:
+            ords.append(i)
+            shard.append(p)
+        k = 0
+        with open(multihost.shard_path(args.out, idx), "w") as out:
+            for name, codes, solid in engine.process_piles(
+                iter(shard), index, cfg
+            ):
+                n_in += 1
+                if len(codes):
+                    n_out += 1
+                    out.write(
+                        f">{name} #{ords[k]}\n{seqs.decode(codes, solid)}\n"
+                    )
+                k += 1
+        if args.stats:
+            GLOBAL_STATS.report()
+        return n_in, n_out
 
     with profiler_trace(args.profile_dir):
         if args.resume:
@@ -262,3 +299,16 @@ def main_polish(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main_correct())
+
+
+def main_merge_shards(argv=None) -> int:
+    """Merge per-host output shards back into pile order."""
+    p = argparse.ArgumentParser(prog="consent-merge-shards")
+    p.add_argument("--out", required=True, help="final FASTA path; "
+                   "shards are <out>.shardNNNNN")
+    p.add_argument("--process-count", type=int, required=True)
+    args = p.parse_args(argv)
+    from consent_tpu.parallel import multihost
+
+    multihost.merge_shards(args.out, args.process_count, args.out)
+    return 0

@@ -120,3 +120,26 @@ def test_cli_correct_resume(small_dataset, tmp_path):
         "--overlapper", "native", "--resume",
     ])
     assert open(out1).read() == open(out2).read()
+
+
+def test_cli_multihost_shards_match_single(small_dataset, tmp_path):
+    """Two-host sharded run merged == single-host run."""
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    single = tmp_path / "single.fasta"
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(single),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native",
+    ])
+    merged = tmp_path / "merged.fasta"
+    for idx in (0, 1):
+        cli.main_correct([
+            "--in", str(reads_fa), "--out", str(merged),
+            "--windowSize", "200", "--windowOverlap", "20",
+            "--overlapper", "native",
+            "--process-index", str(idx), "--process-count", "2",
+        ])
+    cli.main_merge_shards([
+        "--out", str(merged), "--process-count", "2",
+    ])
+    assert open(single).read() == open(merged).read()
