@@ -66,6 +66,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, u8p, ctypes.c_int64,
         ]
         lib.polish_correction.restype = ctypes.c_int64
+        lib.local_align_span.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i64p,
+        ]
+        lib.local_align_span.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -108,3 +113,24 @@ def count_kmers_native(frag_list, k):
     counts = np.zeros(4 ** k, dtype=np.int32)
     lib.count_kmers(blob, lens, offsets, len(frag_list), k, counts)
     return counts
+
+
+def local_align_native(q, r, match=2, mismatch=-2, gap_open=3, gap_extend=1):
+    """Native affine local alignment; returns an object with npalign's
+    fields (opt/q_begin/q_end/r_begin/r_end/n_ins/n_del) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    r = np.ascontiguousarray(r, dtype=np.uint8)
+    out = np.zeros(7, dtype=np.int64)
+    lib.local_align_span(q, len(q), r, len(r),
+                         match, mismatch, gap_open, gap_extend, out)
+
+    class _Res:
+        pass
+
+    res = _Res()
+    (res.opt, res.q_begin, res.q_end, res.r_begin, res.r_end,
+     res.n_ins, res.n_del) = (int(x) for x in out)
+    return res

@@ -383,3 +383,82 @@ int64_t polish_correction(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// affine-gap local alignment with traceback (host-side small alignments:
+// the stitcher's overlap arbitration, reference correctionAlignment.cpp:110)
+// Same semantics as consent_tpu/core/npalign.py.
+
+extern "C" int64_t local_align_span(
+    const uint8_t* q, int64_t lq, const uint8_t* r, int64_t lr,
+    int match, int mismatch, int gap_open, int gap_ext,
+    int64_t* out /* opt,qb,qe,rb,re,n_ins,n_del */) {
+    const int64_t NEGV = -(1LL << 40);
+    if (lq == 0 || lr == 0) {
+        out[0] = 0; out[1] = 0; out[2] = -1; out[3] = 0; out[4] = -1;
+        out[5] = 0; out[6] = 0;
+        return 0;
+    }
+    std::vector<int64_t> H((lq + 1) * (lr + 1), 0);
+    std::vector<int64_t> E((lq + 1) * (lr + 1), NEGV);
+    std::vector<int64_t> F((lq + 1) * (lr + 1), NEGV);
+    auto idx = [&](int64_t i, int64_t j) { return i * (lr + 1) + j; };
+    int64_t opt = 0, oi = 0, oj = 0;
+    for (int64_t i = 1; i <= lq; i++) {
+        for (int64_t j = 1; j <= lr; j++) {
+            int64_t e = std::max(H[idx(i, j - 1)] - gap_open,
+                                 E[idx(i, j - 1)] - gap_ext);
+            int64_t f = std::max(H[idx(i - 1, j)] - gap_open,
+                                 F[idx(i - 1, j)] - gap_ext);
+            int64_t sub = (q[i - 1] == r[j - 1]) ? match : mismatch;
+            int64_t h = std::max<int64_t>(
+                0, std::max(H[idx(i - 1, j - 1)] + sub, std::max(e, f)));
+            E[idx(i, j)] = e;
+            F[idx(i, j)] = f;
+            H[idx(i, j)] = h;
+            if (h > opt) { opt = h; oi = i; oj = j; }
+        }
+    }
+    if (opt == 0) {
+        out[0] = 0; out[1] = 0; out[2] = -1; out[3] = 0; out[4] = -1;
+        out[5] = 0; out[6] = 0;
+        return 0;
+    }
+    // traceback (mirrors npalign.local_align)
+    int64_t i = oi, j = oj, n_ins = 0, n_del = 0;
+    int64_t qb = -1, qe = -1, rb = -1, re = -1;
+    int state = 0;  // 0=H,1=E,2=F
+    while (H[idx(i, j)] > 0 || state != 0) {
+        if (state == 0) {
+            int64_t sub = (q[i - 1] == r[j - 1]) ? match : mismatch;
+            if (H[idx(i, j)] == H[idx(i - 1, j - 1)] + sub) {
+                if (qe < 0) { qe = i - 1; re = j - 1; }
+                qb = i - 1; rb = j - 1;
+                i--; j--;
+            } else if (H[idx(i, j)] == E[idx(i, j)]) {
+                state = 1;
+            } else if (H[idx(i, j)] == F[idx(i, j)]) {
+                state = 2;
+            } else {
+                break;
+            }
+        } else if (state == 1) {
+            n_del++;
+            if (E[idx(i, j)] == E[idx(i, j - 1)] - gap_ext) {
+                j--;
+            } else {
+                j--; state = 0;
+            }
+        } else {
+            n_ins++;
+            if (F[idx(i, j)] == F[idx(i - 1, j)] - gap_ext) {
+                i--;
+            } else {
+                i--; state = 0;
+            }
+        }
+    }
+    out[0] = opt; out[1] = qb; out[2] = qe; out[3] = rb; out[4] = re;
+    out[5] = n_ins; out[6] = n_del;
+    return opt;
+}

@@ -47,21 +47,40 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def device_batch_align(qs: List[np.ndarray], rs: List[np.ndarray]
-                       ) -> List[AlignSpan]:
-    """Align each (qs[i], rs[i]) pair locally on device; returns spans."""
+def device_batch_align(qs: List[np.ndarray], rs: List[np.ndarray],
+                       fixed_len: int | None = None) -> List[AlignSpan]:
+    """Align each (qs[i], rs[i]) pair locally on device; returns spans.
+
+    fixed_len pins the padded sequence length so every call hits a
+    cached executable (tunnel compiles are minutes); without it the
+    lengths round up to the batch maxima."""
     out: List[AlignSpan] = []
     for lo in range(0, len(qs), MAX_LANES_PER_CALL):
         out.extend(_one_call(qs[lo : lo + MAX_LANES_PER_CALL],
-                             rs[lo : lo + MAX_LANES_PER_CALL]))
+                             rs[lo : lo + MAX_LANES_PER_CALL], fixed_len))
     return out
 
 
-def _one_call(qs, rs):
+def make_fixed_aligner(cfg) -> "BatchAlignFn":
+    """Aligner with shapes pinned for one pipeline config."""
+    import functools
+
+    L = _round_up(
+        max(cfg.window_size + 2 * cfg.window_overlap,
+            cfg.window_size + cfg.frag_slack),
+        128,
+    )
+    return functools.partial(device_batch_align, fixed_len=L)
+
+
+def _one_call(qs, rs, fixed_len=None):
     n = len(qs)
     lanes = _next_pow2(n)
     Lq = _round_up(max(len(q) for q in qs), 128)
     Lr = _round_up(max(len(r) for r in rs), 128)
+    if fixed_len is not None:
+        Lq = max(Lq, fixed_len)
+        Lr = max(Lr, fixed_len)
     q = np.zeros((lanes, Lq), dtype=np.uint8)
     r = np.zeros((lanes, Lr), dtype=np.uint8)
     ql = np.zeros(lanes, dtype=np.int32)

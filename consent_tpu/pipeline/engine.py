@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -34,8 +35,9 @@ from consent_tpu.ops import consensus as cons_ops
 from consent_tpu.ops import kmer as kmer_ops
 from consent_tpu.ops.align import Scoring
 from consent_tpu.pipeline import stitch as stitch_mod
+from consent_tpu.utils.observe import GLOBAL_STATS as STATS
 
-S_BUCKETS = (4, 8, 16, 32, 64, 96, 152)
+S_BUCKETS = (4, 8, 16, 32, 64, 152)
 MAX_LANES = 1024      # B*S cap per device consensus call
 
 
@@ -103,6 +105,23 @@ class ConsensusEngine:
     def _run_batch(self, ts: List[WindowTask], S: int) -> None:
         cfg = self.cfg
         B = len(ts)
+        with STATS.timer("consensus.build_batch", B):
+            frags, frag_len, tpl, tpl_len = self._build_arrays(ts, S)
+        self._consensus_rounds(ts, S, frags, frag_len, tpl, tpl_len)
+
+    @staticmethod
+    def _pad_b(n: int) -> int:
+        """Window-batch sizes come from a tiny fixed set (powers of
+        two) so every (B, S) shape hits a cached executable — ragged
+        tails otherwise trigger minutes-long tunnel compiles."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _build_arrays(self, ts, S):
+        cfg = self.cfg
+        B = self._pad_b(len(ts))
         frags = np.zeros((B, S, self.Lf), dtype=np.uint8)
         frag_len = np.zeros((B, S), dtype=np.int32)
         tpl = np.zeros((B, self.Lt), dtype=np.uint8)
@@ -116,24 +135,31 @@ class ConsensusEngine:
             tp = t.frags[0]
             tpl[b, : len(tp)] = tp
             tpl_len[b] = len(tp)
+        return frags, frag_len, tpl, tpl_len
 
+    def _consensus_rounds(self, ts, S, frags, frag_len, tpl, tpl_len):
+        cfg = self.cfg
+        B = frags.shape[0]          # padded batch size (fixed shape set)
         frags_d = jnp.asarray(frags)
         flen_d = jnp.asarray(frag_len)
         cur_tpl, cur_tlen = tpl, tpl_len
 
         for _ in range(max(1, cfg.consensus_rounds)):
-            votes = cons_ops.consensus_votes(
-                frags_d,
-                flen_d,
-                jnp.asarray(cur_tpl),
-                jnp.asarray(cur_tlen),
-                S=S,
-                min_column_support=cfg.min_column_support,
-                scoring=self.scoring,
-            )
-            cons_list = cons_ops.assemble_consensus_batch(
-                votes, cur_tlen.tolist()
-            )
+            with STATS.timer("consensus.device_votes", B):
+                votes = cons_ops.consensus_votes(
+                    frags_d,
+                    flen_d,
+                    jnp.asarray(cur_tpl),
+                    jnp.asarray(cur_tlen),
+                    S=S,
+                    min_column_support=cfg.min_column_support,
+                    scoring=self.scoring,
+                )
+                votes = jax.tree.map(np.asarray, votes)
+            with STATS.timer("consensus.assemble", B):
+                cons_list = cons_ops.assemble_consensus_batch(
+                    votes, cur_tlen.tolist()
+                )
             # next round: consensus becomes the template
             cur_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
             cur_tlen = np.zeros(B, dtype=np.int32)
@@ -146,6 +172,8 @@ class ConsensusEngine:
         # (native C++ fast paths with Python fallbacks)
         from consent_tpu import native
 
+        stats_cm = STATS.timer("consensus.kmer_dbg", B)
+        stats_cm.__enter__()
         for b, t in enumerate(ts):
             cons = cons_list[b][: self.Lt]
             use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
@@ -172,6 +200,7 @@ class ConsensusEngine:
             t.consensus = cons
             t.solid = solid
             t.counts = SparseCounts.from_dense(dense)
+        stats_cm.__exit__(None, None, None)
 
 
 def windows_of_pile(pile: Pile, read_index, cfg: ConsentConfig,
@@ -213,8 +242,8 @@ def process_piles(
     reference does at CONSENT-correction.cpp:101-103).
     """
     if batch_align is None:
-        from consent_tpu.pipeline.device_align import device_batch_align
-        batch_align = device_batch_align
+        from consent_tpu.pipeline.device_align import make_fixed_aligner
+        batch_align = make_fixed_aligner(cfg)
     engine = ConsensusEngine(cfg)
 
     chunk: List[Pile] = []
@@ -222,11 +251,13 @@ def process_piles(
     def flush(chunk: List[Pile]):
         all_tasks: List[WindowTask] = []
         per_read: List[Optional[List[WindowTask]]] = []
-        for key, pile in enumerate(chunk):
-            tasks = windows_of_pile(pile, read_index, cfg, key)
-            per_read.append(tasks)
-            if tasks:
-                all_tasks.extend(tasks)
+        with STATS.timer("windows.geometry", len(chunk)):
+            for key, pile in enumerate(chunk):
+                tasks = windows_of_pile(pile, read_index, cfg, key)
+                per_read.append(tasks)
+                if tasks:
+                    all_tasks.extend(tasks)
+        STATS.add("windows.total", len(all_tasks))
         engine.run(all_tasks)
 
         jobs: List[Optional[stitch_mod.StitchJob]] = []
@@ -249,7 +280,10 @@ def process_piles(
                 cfg=cfg,
             )
             jobs.append(job)
-        stitch_mod.run_stitch([j for j in jobs if j is not None], batch_align)
+        with STATS.timer("stitch.total", len(chunk)):
+            stitch_mod.run_stitch(
+                [j for j in jobs if j is not None], batch_align
+            )
 
         for pile, job in zip(chunk, jobs):
             if job is None:

@@ -159,9 +159,15 @@ class StitchJob:
                         sm2 = int(np.count_nonzero(seq2_s))
                     if sm1 > sm2:
                         # keep the previous window's version of the overlap
-                        sub = npalign.local_align(
+                        from consent_tpu import native
+
+                        sub = native.local_align_native(
                             seq1_c, seq2_c, **STITCH_SCORING
                         )
+                        if sub is None:
+                            sub = npalign.local_align(
+                                seq1_c, seq2_c, **STITCH_SCORING
+                            )
                         cut = overlap - sub.n_ins + sub.n_del
                         if cut < len(cur_c):
                             cur_c = np.concatenate([seq1_c, cur_c[cut:]])
@@ -215,6 +221,8 @@ def run_stitch(jobs: List[StitchJob],
                batch_align: BatchAlignFn = host_batch_align) -> None:
     """Drive many stitch jobs in lockstep: one batched alignment per
     round, one window advanced per live job per round."""
+    from consent_tpu.utils.observe import GLOBAL_STATS as STATS
+
     live = [j for j in jobs if not j.done]
     while live:
         qs, rs = [], []
@@ -222,7 +230,9 @@ def run_stitch(jobs: List[StitchJob],
             q, r = j.next_request()
             qs.append(q)
             rs.append(r)
-        spans = batch_align(qs, rs)
-        for j, s in zip(live, spans):
-            j.apply(s)
+        with STATS.timer("stitch.align", len(live)):
+            spans = batch_align(qs, rs)
+        with STATS.timer("stitch.apply", len(live)):
+            for j, s in zip(live, spans):
+                j.apply(s)
         live = [j for j in live if not j.done]
