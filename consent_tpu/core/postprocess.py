@@ -44,3 +44,33 @@ def drop_read(solid: np.ndarray) -> bool:
     if len(solid) == 0:
         return True
     return float(np.count_nonzero(solid)) / len(solid) < 0.1
+
+
+def split_read(codes: np.ndarray, solid: np.ndarray, window_size: int
+               ) -> list:
+    """Split at uncorrected gaps of >= window_size bases (reference
+    splitRead, src/utils.cpp:130-164 — declared but never called by the
+    v2.2 drivers; provided for parity/completeness).  Returns a list of
+    (codes, solid) pieces with the weak head/tail removed."""
+    solid = np.asarray(solid, dtype=bool)
+    idx = np.flatnonzero(solid)
+    if len(idx) == 0:
+        return []
+    beg, end = int(idx[0]), int(idx[-1])
+    pieces = []
+    prev = beg
+    run = 0
+    i = beg
+    while i <= end:
+        if not solid[i]:
+            run += 1
+        else:
+            if run >= window_size:
+                pieces.append(
+                    (codes[prev : i - run], solid[prev : i - run])
+                )
+                prev = i
+            run = 0
+        i += 1
+    pieces.append((codes[prev : end + 1], solid[prev : end + 1]))
+    return pieces
