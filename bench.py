@@ -55,7 +55,10 @@ def main():
 
     from consent_tpu.ops.align import Scoring
 
-    scoring = Scoring(max_hgap=16)  # the pipeline's consensus scoring
+    # the pipeline's consensus scoring: capped horizontal gaps + the
+    # 128-wide diagonal band (fragments are near-diagonal; see
+    # consent_tpu/ops/pallas_align.py:_kernel_banded)
+    scoring = Scoring(max_hgap=16, band=128)
 
     def chain(k, fr):
         out = None

@@ -62,6 +62,12 @@ class ConsentConfig:
     # template deletions route through mismatches and are repaired by
     # the DBG stage.  Shrinks the kernel's per-row scan.
     consensus_max_hgap: int = 16
+    # Diagonal band width for the consensus aligner (0 = full DP).
+    # Fragments are near-diagonal (each lane's expected offset d0 is
+    # estimated from the PAF span ratio at clip time), so a 128-wide
+    # band loses nothing and cuts the kernel's per-row vector width
+    # from the window length to the band.  Multiple of 128.
+    consensus_band: int = 128
     # Min plurality coverage for a consensus column to override template.
     min_column_support: int = 2
 

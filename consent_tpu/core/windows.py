@@ -101,6 +101,7 @@ def clip_fragments(
     q_beg: int,
     q_end: int,
     mer_size: int,
+    with_offsets: bool = False,
 ) -> List[np.ndarray]:
     """Extract this window's fragment of every admissible overlap.
 
@@ -108,13 +109,21 @@ def clip_fragments(
     `sequences` maps name -> uint8 code array (template + targets).
     Returns [template_fragment, frag1, ...]; empty list if the window
     falls off the template (reference guard :95-97).
+
+    With `with_offsets=True`, returns (frags, d0s) where d0s[i] is the
+    estimated window column where frags[i] base 0 aligns — the banded
+    aligner's per-lane diagonal offset.  The estimate maps the slab
+    start through the overlap's PAF span ratio (linear interpolation of
+    indel drift), which the reference's unscaled clipping ignores; the
+    residual random-walk drift stays well inside a 128-wide band.
     """
     W = q_end - q_beg + 1
     tpl = sequences[pile.q_name]
     if q_beg + W - 1 >= len(tpl):
-        return []
+        return ([], []) if with_offsets else []
 
     frags: List[np.ndarray] = [tpl[q_beg : q_beg + W]]
+    d0s: List[int] = [0]
 
     ov = pile.ov
     for i in range(len(ov)):
@@ -160,8 +169,22 @@ def clip_fragments(
 
         if len(frag) >= mer_size:
             frags.append(frag)
+            if with_offsets:
+                # target coordinate of fragment base 0, mapped into
+                # window columns through the overlap's span ratio
+                if ov["strand"][i]:
+                    tb0 = t_end - shift
+                    t_rel = t_end_al - tb0
+                else:
+                    tb0 = t_beg + shift
+                    t_rel = tb0 - t_start
+                t_span = t_end_al - t_start
+                q_span = q_end_al - q_start
+                scale = q_span / t_span if t_span > 0 else 1.0
+                qcol = q_start + t_rel * scale
+                d0s.append(int(round(qcol)) - q_beg)
 
-    return frags
+    return (frags, d0s) if with_offsets else frags
 
 
 def sequences_map(pile: Pile, read_index) -> dict:

@@ -57,6 +57,14 @@ class Scoring(NamedTuple):
     # template deletions are instead routed through mismatches and
     # repaired by the DBG stage); the stitch path stays exact.
     max_hgap: int = 0
+    # Diagonal band width (0 = full DP).  With band = B > 0 the DP only
+    # fills cells with (j - d0) - i in [-B/2, B/2), where d0 is the
+    # per-lane expected ref column of query base 0 (the fragment's clip
+    # offset, estimated at clip time from the PAF span ratio).  Cells
+    # outside the band are -inf.  Cuts the per-row vector width from Lr
+    # to B in the Pallas kernel — the structural win, since window
+    # fragments are near-diagonal.  Must be a multiple of 128 on TPU.
+    band: int = 0
 
 
 INS_PACK = 16  # inserted bases packed 2-bit into one int32 per column
@@ -115,10 +123,12 @@ def posterior_summary(
     r: jnp.ndarray,       # [N, Lr] uint8 codes
     r_len: jnp.ndarray,   # [N] int32
     sc: Scoring = Scoring(),
+    d0: jnp.ndarray | None = None,   # [N] expected ref col of q[0] (band)
 ) -> PosteriorSummary:
     """Forward + backward local-alignment fill with streaming posterior
     reduction.  Pure JAX (static shapes); ops/pallas_align.py provides
-    the fused-kernel fast path with the same contract."""
+    the fused-kernel fast path with the same contract (including the
+    banded variant's exact clipping semantics when sc.band > 0)."""
     N, Lq = q.shape
     Lr = r.shape[1]
     qi = q.astype(jnp.int16)
@@ -127,26 +137,58 @@ def posterior_summary(
     open_, ext = sc.gap_open, sc.gap_extend
     jcost = (jnp.arange(Lr, dtype=jnp.int16) * ext)               # j*ext
 
-    def row_scores(q_col, valid_row):
+    band = sc.band
+    if band:
+        OFF = band // 2
+        if d0 is None:
+            d0 = jnp.zeros((N,), jnp.int32)
+        # Kernel column of true column j.  Row i of the banded kernel
+        # materializes only slots chat in [i - OFF, i + band - OFF)
+        # (cells outside are -inf: they have no slot), and its ref view
+        # is the window chat in [0, Lr) — columns outside that window
+        # behave like ordinary out-of-ref cells (score floor 0).
+        chat = jnp.arange(Lr)[None, :] - d0.astype(jnp.int32)[:, None]
+        chat_ok = (chat >= 0) & (chat < Lr)
+
+        def in_geom(i):
+            rel = chat - i + OFF
+            return (rel >= 0) & (rel < band)
+    else:
+        def in_geom(i):
+            return True
+
+    def row_scores(q_col, valid_row, i):
         sub = jnp.where(q_col[:, None] == ri, sc.match, sc.mismatch)
         ok = valid_row[:, None] & ref_mask
+        if band:
+            ok = ok & in_geom(i) & chat_ok
         return jnp.where(ok, sub, NEG).astype(jnp.int16)
+
+    def band_clip(x, i):
+        """Cells with no slot in row i of the banded kernel are -inf;
+        no-op for full DP."""
+        if not band:
+            return x
+        return jnp.where(in_geom(i), x, jnp.int16(NEG))
 
     # ---------------- forward fill ----------------
     def fwd_step(carry, xs):
         h_prev, f_prev = carry            # [N, Lr] int16, rows i-1
         q_col, i = xs
         valid = i < q_len                                        # [N]
-        sub = row_scores(q_col, valid)                           # [N, Lr]
+        sub = row_scores(q_col, valid, i)                        # [N, Lr]
         h_diag = jnp.pad(h_prev[:, :-1], ((0, 0), (1, 0)))       # H[i-1][j-1]
         hm = (h_diag + sub).astype(jnp.int16)                    # match-entering
         f = jnp.maximum(h_prev - open_, f_prev - ext).astype(jnp.int16)
-        ht = jnp.maximum(jnp.maximum(hm, f), 0).astype(jnp.int16)
+        ht = band_clip(
+            jnp.maximum(jnp.maximum(hm, f), 0).astype(jnp.int16), i
+        )
         e = (
             _prefix_max_exclusive(ht + jcost, axis=1, max_window=sc.max_hgap)
             - jcost - (open_ - ext)
         ).astype(jnp.int16)
-        h = jnp.maximum(ht, e)
+        h = band_clip(jnp.maximum(ht, e), i)
+        f = band_clip(f, i)
         h = jnp.where(valid[:, None], h, h_prev)
         f = jnp.where(valid[:, None], f, f_prev)
         return (h, f), hm
@@ -168,18 +210,21 @@ def posterior_summary(
         bh_next, bf_next, matched, i_first, i_last = carry
         q_col, hm_row, i = xs
         valid = i < q_len
-        sub = row_scores(q_col, valid)
+        sub = row_scores(q_col, valid, i)
         bh_diag = jnp.pad(bh_next[:, 1:], ((0, 0), (0, 1)))      # bh[i+1][j+1]
         bm = (sub + bh_diag).astype(jnp.int16)
         bf = jnp.maximum(bh_next - open_, bf_next - ext).astype(jnp.int16)
-        bt = jnp.maximum(jnp.maximum(bm, bf), 0).astype(jnp.int16)
+        bt = band_clip(
+            jnp.maximum(jnp.maximum(bm, bf), 0).astype(jnp.int16), i
+        )
         be = (
             _prefix_max_exclusive(
                 (bt - jcost)[:, ::-1], axis=1, max_window=sc.max_hgap
             )[:, ::-1]
             + jcost - (open_ - ext)
         ).astype(jnp.int16)
-        bh = jnp.maximum(bt, be)
+        bh = band_clip(jnp.maximum(bt, be), i)
+        bf = band_clip(bf, i)
         bh = jnp.where(valid[:, None], bh, bh_next)
         bf = jnp.where(valid[:, None], bf, bf_next)
 

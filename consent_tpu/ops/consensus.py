@@ -38,15 +38,21 @@ from consent_tpu.ops import align as align_ops
 INS_CAP = 16  # max insertion bases tracked per column boundary
 
 
-def _summary_dispatch(q, q_len, r, r_len, scoring):
+def _summary_dispatch(q, q_len, r, r_len, scoring, d0=None):
     """Fused Pallas kernel on TPU; XLA-scan elsewhere (CPU tests)."""
     if jax.default_backend() == "tpu" and r.shape[1] % 128 == 0:
         from consent_tpu.ops import pallas_align
 
+        if scoring.band:
+            if d0 is None:
+                d0 = jnp.zeros(q.shape[:1], jnp.int32)
+            return pallas_align.pallas_banded_posterior_summary(
+                q, q_len, r, r_len, d0, scoring
+            )
         return pallas_align.pallas_posterior_summary(
             q, q_len, r, r_len, scoring
         )
-    return align_ops.posterior_summary(q, q_len, r, r_len, scoring)
+    return align_ops.posterior_summary(q, q_len, r, r_len, scoring, d0=d0)
 
 
 class WindowVotes(NamedTuple):
@@ -91,6 +97,7 @@ def consensus_votes(
     S: int,
     min_column_support: int = 2,
     scoring: align_ops.Scoring = align_ops.Scoring(),
+    frag_d0: jnp.ndarray | None = None,  # [B, S] expected start column
 ) -> WindowVotes:
     B, S_, Lf = frags.shape
     assert S_ == S
@@ -100,8 +107,9 @@ def consensus_votes(
     q_len = frag_len.reshape(B * S)
     r = jnp.repeat(tpl, S, axis=0)
     r_len = jnp.repeat(tpl_len, S)
+    d0 = None if frag_d0 is None else frag_d0.reshape(B * S)
 
-    summ = _summary_dispatch(q, q_len, r, r_len, scoring)
+    summ = _summary_dispatch(q, q_len, r, r_len, scoring, d0=d0)
     N = B * S
     matched = summ.matched                               # [N, W]
     big = Lf + W + 10

@@ -185,6 +185,319 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     jax.lax.fori_loop(0, Lq, bwd_body, 0)
 
 
+def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
+                   opt_ref, matched_ref, ifirst_ref, ilast_ref,
+                   base_ref, inspack_ref, hm_hbm,
+                   rr_ref, qrot_ref, row_buf, dma_sem,
+                   h_ref, f_ref, optv_ref,
+                   *, Lq: int, W: int, BW: int, sc: Scoring):
+    """Banded variant: DP states live in band coordinates
+    (slot b of row i = kernel column chat = i + b - OFF), so
+
+      * the diagonal predecessor (i-1, chat-1) is the SAME slot of the
+        previous row — no shift at all,
+      * the vertical predecessor (i-1, chat) is slot b+1 / b-1 (one
+        static roll),
+      * all per-row DP vectors are [TILE_N, BW] instead of [TILE_N, W].
+
+    The caller pre-gathers rhat[n, c] = r[n, c + d0[n]] so every lane's
+    expected diagonal starts at kernel column 0; posterior outputs are
+    in kernel columns and un-shifted by the caller.  rr/qrot are
+    rotating copies of rhat/q advanced by one static roll per row, so
+    slot 0 always reads the current row's base — no dynamic rolls in
+    the DP.  The posterior fold still updates full-width [TILE_N, W]
+    accumulators (one dynamic roll positions the band row)."""
+    match, mismatch = sc.match, sc.mismatch
+    open_, ext = sc.gap_open, sc.gap_extend
+    TILE_N = q_ref.shape[0]
+    OFF = BW // 2
+
+    cb = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, BW), 1)
+    jcost = cb * ext
+    qlen = qlen_ref[:]                 # [TILE_N, 1]
+    jlo = jlo_ref[:]
+    jhi = jhi_ref[:]
+    gap_span = sc.max_hgap if sc.max_hgap else BW
+    log_steps = max(1, int(np.ceil(np.log2(min(gap_span, BW)))))
+
+    def prefix_max_incl(x):
+        for s in (2 ** p for p in range(log_steps)):
+            sh = jnp.where(cb >= s, pltpu.roll(x, s, axis=1), NEG)
+            x = jnp.maximum(x, sh)
+        return x
+
+    def suffix_max_incl(x):
+        for s in (2 ** p for p in range(log_steps)):
+            sh = jnp.where(cb < BW - s, pltpu.roll(x, BW - s, axis=1), NEG)
+            x = jnp.maximum(x, sh)
+        return x
+
+    kins = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, INS_PACK), 1)
+    pack_w = (1 << (2 * kins))
+
+    def sub_row(i):
+        chat = i + cb - OFF
+        valid = (chat >= jlo) & (chat < jhi) & (i < qlen)
+        qcol = qrot_ref[:, 0:1]                    # q[i]
+        rband = rr_ref[:, 0:BW]                    # rhat[i + b - OFF]
+        sub = jnp.where(qcol == rband, match, mismatch)
+        return jnp.where(valid, sub, NEG), qcol
+
+    def hm_dma(i, slot):
+        return pltpu.make_async_copy(
+            row_buf.at[slot], hm_hbm.at[i], dma_sem.at[slot]
+        )
+
+    def hm_fetch(i, slot):
+        return pltpu.make_async_copy(
+            hm_hbm.at[i], row_buf.at[slot], dma_sem.at[slot]
+        )
+
+    # ---------------- forward ----------------
+    h_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
+    f_ref[:] = jnp.full((TILE_N, BW), NEG, jnp.int32)
+    optv_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
+    # rr slot b reads rhat[(b - OFF + i) mod W]; advanced 1/row
+    rr_ref[:] = pltpu.roll(rhat_ref[:], OFF, axis=1)
+    qrot_ref[:] = q_ref[:]
+
+    def fwd_body(i, _):
+        slot = jax.lax.rem(i, 2)
+        @pl.when(i >= 2)
+        def _():
+            hm_dma(i - 2, slot).wait()
+
+        sub, _ = sub_row(i)
+        h_prev = h_ref[:]
+        f_prev = f_ref[:]
+        hm = h_prev + sub                    # diagonal = same slot
+        vt = jnp.maximum(h_prev - open_, f_prev - ext)
+        f = jnp.where(cb <= BW - 2, pltpu.roll(vt, BW - 1, axis=1), NEG)
+        ht = jnp.maximum(jnp.maximum(hm, f), 0)
+        p = prefix_max_incl(ht + jcost)
+        pe = jnp.where(cb >= 1, pltpu.roll(p, 1, axis=1), NEG)
+        e = pe - jcost - (open_ - ext)
+        h = jnp.maximum(ht, e)
+        valid_q = i < qlen
+        h_ref[:] = jnp.where(valid_q, h, h_prev)
+        f_ref[:] = jnp.where(valid_q, f, f_prev)
+        row_buf[slot] = hm
+        hm_dma(i, slot).start()
+        optv_ref[:] = jnp.maximum(optv_ref[:], hm)
+        rr_ref[:] = pltpu.roll(rr_ref[:], W - 1, axis=1)
+        qrot_ref[:] = pltpu.roll(qrot_ref[:], Lq - 1, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, Lq, fwd_body, 0)
+    hm_dma(Lq - 2, jax.lax.rem(Lq - 2, 2)).wait()
+    hm_dma(Lq - 1, jax.lax.rem(Lq - 1, 2)).wait()
+
+    opt = jnp.max(optv_ref[:], axis=1, keepdims=True)   # [TILE_N, 1]
+    opt = jnp.maximum(opt, 0)
+    opt_ref[:] = opt
+
+    # ---------------- backward + posterior ----------------
+    h_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
+    f_ref[:] = jnp.full((TILE_N, BW), NEG, jnp.int32)
+    matched_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    ifirst_ref[:] = jnp.full((TILE_N, W), Lq, jnp.int32)
+    ilast_ref[:] = jnp.full((TILE_N, W), -1, jnp.int32)
+    base_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    inspack_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    pos_opt = opt > 0
+    # re-align the rotating views to row Lq-1 (one lane ahead for the
+    # insertion window: qrot lane k reads q[(i + k) mod Lq])
+    rr_ref[:] = pltpu.roll(rhat_ref[:], (OFF - (Lq - 1)) % W, axis=1)
+    qrot_ref[:] = pltpu.roll(q_ref[:], (-(Lq - 1)) % Lq, axis=1)
+
+    hm_fetch(Lq - 1, jax.lax.rem(Lq - 1, 2)).start()
+    zpad = jnp.zeros((TILE_N, W - BW), jnp.int32) if W > BW else None
+
+    def bwd_body(t, _):
+        i = Lq - 1 - t
+        slot = jax.lax.rem(i, 2)
+        hm_fetch(i, slot).wait()
+        hm_row = row_buf[slot]
+        @pl.when(i >= 1)
+        def _():
+            hm_fetch(i - 1, 1 - slot).start()
+
+        sub, qcol = sub_row(i)
+        bh_next = h_ref[:]
+        bf_next = f_ref[:]
+        bh_diag = bh_next                    # (i+1, chat+1) = same slot
+        vt = jnp.maximum(bh_next - open_, bf_next - ext)
+        bf = jnp.where(cb >= 1, pltpu.roll(vt, 1, axis=1), NEG)
+        bt = jnp.maximum(jnp.maximum(sub + bh_diag, bf), 0)
+        s = suffix_max_incl(bt - jcost)
+        se = jnp.where(cb <= BW - 2, pltpu.roll(s, BW - 1, axis=1), NEG)
+        be = se + jcost - (open_ - ext)
+        bh = jnp.maximum(bt, be)
+        valid_q = i < qlen
+        h_ref[:] = jnp.where(valid_q, bh, bh_next)
+        f_ref[:] = jnp.where(valid_q, bf, bf_next)
+
+        on_path = (
+            (hm_row + bh_diag == opt)
+            & (hm_row > NEG // 2)
+            & pos_opt
+        )
+        # position the band row at kernel columns [i-OFF, i+BW-OFF)
+        opb = on_path.astype(jnp.int32)
+        if zpad is not None:
+            opb = jnp.concatenate([opb, zpad], axis=1)
+        opf = pltpu.roll(opb, jax.lax.rem(i - OFF + W, W), axis=1) != 0
+
+        first_seen = opf & (matched_ref[:] == 0)
+        ifirst_ref[:] = jnp.where(opf, i, ifirst_ref[:])
+        ilast_ref[:] = jnp.where(first_seen, i, ilast_ref[:])
+        k_in_len = (i + 1 + kins) < qlen           # [TILE_N, INS_PACK]
+        qslice = jnp.where(k_in_len, qrot_ref[:, 1 : 1 + INS_PACK], 0)
+        pack = jnp.sum(qslice * pack_w, axis=1, keepdims=True)
+        base_ref[:] = jnp.where(first_seen, qcol, base_ref[:])
+        inspack_ref[:] = jnp.where(first_seen, pack, inspack_ref[:])
+        matched_ref[:] = jnp.where(opf, 1, matched_ref[:])
+        rr_ref[:] = pltpu.roll(rr_ref[:], 1, axis=1)
+        qrot_ref[:] = pltpu.roll(qrot_ref[:], 1, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, Lq, bwd_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sc", "interpret", "tile_lanes")
+)
+def pallas_banded_posterior_summary(
+    q: jnp.ndarray,       # [N, Lq] uint8/int32 codes
+    q_len: jnp.ndarray,   # [N] int32
+    r: jnp.ndarray,       # [N, W] uint8/int32 codes
+    r_len: jnp.ndarray,   # [N] int32
+    d0: jnp.ndarray,      # [N] int32 expected ref column of q[0]
+    sc: Scoring,
+    interpret: bool = False,
+    tile_lanes: int = TILE_LANES,
+) -> PosteriorSummary:
+    """Banded posterior alignment: pre-gathers each lane's ref so its
+    expected diagonal starts at kernel column 0, runs _kernel_banded,
+    and un-shifts the per-column outputs back to true ref columns.
+    Matches ops/align.py:posterior_summary(sc, d0) exactly."""
+    N, Lq = q.shape
+    W = r.shape[1]
+    BW = sc.band
+    assert BW and BW % 128 == 0 and BW <= W, (BW, W)
+    assert W % 128 == 0, f"ref length {W} must be a multiple of 128"
+
+    d0 = d0.astype(jnp.int32)
+    colW = jnp.arange(W)[None, :]
+    # Per-lane rotation via log2(W) conditional static rolls — a
+    # take_along_axis lane-gather costs ~7 ms on [1024, 512] (TPU
+    # gathers serialize over lanes); this is pure slice/select.
+    # out[:, j] = x[:, (j - shift[n]) mod W]
+    def lane_roll(x, shift):
+        sh = jnp.remainder(shift, W)[:, None]
+        k = 1
+        while k < W:
+            x = jnp.where(
+                (sh & k) != 0, jnp.roll(x, k, axis=1), x
+            )
+            k *= 2
+        return x
+
+    # r_hat[n, c] = r[n, (c + d0[n]) mod W]; wrapped columns are never
+    # valid (masked by [j_lo, j_hi) in the kernel)
+    r_hat = lane_roll(jnp.asarray(r).astype(jnp.int32), -d0)
+    j_hi = jnp.clip(r_len.astype(jnp.int32) - d0, 0, W)
+    j_lo = jnp.clip(-d0, 0, W)
+
+    TILE_N = tile_lanes
+    n_pad = (-N) % TILE_N
+    if n_pad:
+        q = jnp.pad(q, ((0, n_pad), (0, 0)))
+        r_hat = jnp.pad(r_hat, ((0, n_pad), (0, 0)))
+        q_len = jnp.pad(q_len, (0, n_pad))
+        j_lo = jnp.pad(j_lo, (0, n_pad))
+        j_hi = jnp.pad(j_hi, (0, n_pad))
+    Np = N + n_pad
+    grid = (Np // TILE_N,)
+
+    lane_spec = lambda: pl.BlockSpec(
+        (TILE_N, 1), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    seq_spec = lambda L: pl.BlockSpec(
+        (TILE_N, L), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_kernel_banded, Lq=Lq, W=W, BW=BW, sc=sc)
+    opt, matched, i_first, i_last, base, ins_pack, _hm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(),            # q_len
+            lane_spec(),            # j_lo
+            lane_spec(),            # j_hi
+            seq_spec(Lq),           # q
+            seq_spec(W),            # r_hat
+        ],
+        out_specs=[
+            seq_spec(1),            # opt
+            seq_spec(W),            # matched
+            seq_spec(W),            # i_first
+            seq_spec(W),            # i_last
+            seq_spec(W),            # base
+            seq_spec(W),            # ins_pack
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # hm staging
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Np, W), jnp.int32),
+            jax.ShapeDtypeStruct((Lq, TILE_N, BW), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # rr
+            pltpu.VMEM((TILE_N, Lq), jnp.int32),                # qrot
+            pltpu.VMEM((2, TILE_N, BW), jnp.int32),             # row buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE_N, BW), jnp.int32),                # h / bh
+            pltpu.VMEM((TILE_N, BW), jnp.int32),                # f / bf
+            pltpu.VMEM((TILE_N, BW), jnp.int32),                # optv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                (6 * TILE_N * W + 2 * TILE_N * Lq + 5 * TILE_N * BW) * 4
+                + 8 * 2 ** 20
+            ),
+        ),
+        interpret=interpret,
+    )(
+        q_len.astype(jnp.int32)[:, None],
+        j_lo[:, None],
+        j_hi[:, None],
+        q.astype(jnp.int32),
+        r_hat,
+    )
+
+    # un-shift kernel columns back to true ref columns:
+    # out[n, j] = kout[n, (j - d0[n]) mod W], masked where out of range
+    idx = colW - d0[:, None]                   # true col j -> kernel chat
+    ok = (idx >= 0) & (idx < W)
+
+    def unshift(x, fill):
+        return jnp.where(ok, lane_roll(x[:N], d0), fill)
+
+    return PosteriorSummary(
+        opt=opt[:N, 0],
+        matched=unshift(matched, 0).astype(jnp.bool_),
+        i_first=unshift(i_first, Lq),
+        i_last=unshift(i_last, -1),
+        base=unshift(base, 0),
+        ins_pack=unshift(ins_pack, 0),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("sc", "interpret", "tile_lanes")
 )

@@ -49,6 +49,7 @@ class WindowTask:
     window_idx: int
     pos: Tuple[int, int]
     frags: List[np.ndarray]          # template first
+    d0s: Optional[List[int]] = None  # est. start column per fragment
     # filled by the engine:
     consensus: Optional[np.ndarray] = None
     solid: Optional[np.ndarray] = None
@@ -73,6 +74,7 @@ class ConsensusEngine:
             gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend,
             max_hgap=cfg.consensus_max_hgap,
+            band=cfg.consensus_band,
         )
         # fragment slots cap: template + maxMSA support fragments
         self.s_cap = S_BUCKETS[-1]
@@ -106,8 +108,12 @@ class ConsensusEngine:
         cfg = self.cfg
         B = len(ts)
         with STATS.timer("consensus.build_batch", B):
-            frags, frag_len, tpl, tpl_len = self._build_arrays(ts, S)
-        self._consensus_rounds(ts, S, frags, frag_len, tpl, tpl_len)
+            frags, frag_len, frag_d0, tpl, tpl_len = self._build_arrays(
+                ts, S
+            )
+        self._consensus_rounds(
+            ts, S, frags, frag_len, frag_d0, tpl, tpl_len
+        )
 
     @staticmethod
     def _pad_b(n: int) -> int:
@@ -124,24 +130,30 @@ class ConsensusEngine:
         B = self._pad_b(len(ts))
         frags = np.zeros((B, S, self.Lf), dtype=np.uint8)
         frag_len = np.zeros((B, S), dtype=np.int32)
+        frag_d0 = np.zeros((B, S), dtype=np.int32)
         tpl = np.zeros((B, self.Lt), dtype=np.uint8)
         tpl_len = np.zeros(B, dtype=np.int32)
         for b, t in enumerate(ts):
-            use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+            n_use = min(len(t.frags), cfg.max_msa + 1, S)
+            use = t.frags[:n_use]
             for s, f in enumerate(use):
                 L = min(len(f), self.Lf)
                 frags[b, s, :L] = f[:L]
                 frag_len[b, s] = L
+            if t.d0s is not None:
+                frag_d0[b, :n_use] = t.d0s[:n_use]
             tp = t.frags[0]
             tpl[b, : len(tp)] = tp
             tpl_len[b] = len(tp)
-        return frags, frag_len, tpl, tpl_len
+        return frags, frag_len, frag_d0, tpl, tpl_len
 
-    def _consensus_rounds(self, ts, S, frags, frag_len, tpl, tpl_len):
+    def _consensus_rounds(self, ts, S, frags, frag_len, frag_d0, tpl,
+                          tpl_len):
         cfg = self.cfg
         B = frags.shape[0]          # padded batch size (fixed shape set)
         frags_d = jnp.asarray(frags)
         flen_d = jnp.asarray(frag_len)
+        fd0_d = jnp.asarray(frag_d0) if self.scoring.band else None
         cur_tpl, cur_tlen = tpl, tpl_len
 
         for _ in range(max(1, cfg.consensus_rounds)):
@@ -154,6 +166,7 @@ class ConsensusEngine:
                     S=S,
                     min_column_support=cfg.min_column_support,
                     scoring=self.scoring,
+                    frag_d0=fd0_d,
                 )
                 votes = jax.tree.map(np.asarray, votes)
             with STATS.timer("consensus.assemble", B):
@@ -218,12 +231,12 @@ def windows_of_pile(pile: Pile, read_index, cfg: ConsentConfig,
         return None
     tasks = []
     for w_idx, (beg, end) in enumerate(pos):
-        frags = win_mod.clip_fragments(
-            pile, seq_map, beg, end, cfg.mer_size
+        frags, d0s = win_mod.clip_fragments(
+            pile, seq_map, beg, end, cfg.mer_size, with_offsets=True
         )
         tasks.append(
             WindowTask(read_key=read_key, window_idx=w_idx,
-                       pos=(beg, end), frags=frags)
+                       pos=(beg, end), frags=frags, d0s=d0s)
         )
     return tasks
 
