@@ -41,14 +41,12 @@ class ConsentConfig:
     dbg_zone: int = 3
 
     # --- TPU-native knobs (no reference equivalent) ---
-    # Fragment slots per window on device; piles deeper than this keep the
-    # best `msa_depth` fragments by overlap matches.
-    msa_depth: int = 64
     # Extra bases a clipped fragment may carry beyond window_size
     # (target-side insertions make fragments slightly longer).
     frag_slack: int = 140
-    # Windows per device batch.
-    batch_windows: int = 32
+    # Max alignment lanes (windows x fragment slots) per device
+    # consensus call, per device — the device batch geometry knob.
+    device_lanes: int = 1024
     # Alignment scoring (stitch mirrors the reference's SSW defaults:
     # match=2, mismatch=-2, gap_open=3, gap_extend=1; reference:
     # correctionAlignment.cpp:48 StripedSmithWaterman::Aligner()).
@@ -57,6 +55,9 @@ class ConsentConfig:
     gap_open: int = 4
     gap_extend: int = 2
     # Consensus refinement rounds (realign fragments to round-1 consensus).
+    # 2 rounds lift mean identity measurably at CLR error rates (see
+    # tests/test_e2e.py accuracy gates); 1 trades that for ~2x window
+    # throughput.
     consensus_rounds: int = 2
     # Horizontal-gap cap for the consensus aligner (0 = exact); longer
     # template deletions route through mismatches and are repaired by
@@ -72,8 +73,9 @@ class ConsentConfig:
     min_column_support: int = 2
 
     # --- runtime ---
-    n_devices: Optional[int] = None   # None = all local devices
-    seed: int = 0
+    # Local devices the engine shards window batches over (shard_map
+    # over the `data` mesh axis); None = all local devices.
+    n_devices: Optional[int] = None
 
     @property
     def frag_len(self) -> int:
@@ -91,6 +93,10 @@ class ConsentConfig:
             raise ValueError("mer_size must be in [2, 15]")
         if self.min_support < 1:
             raise ValueError("min_support must be >= 1")
+        if self.device_lanes < 1:
+            raise ValueError("device_lanes must be >= 1")
+        if self.max_branches < 0 or self.dbg_zone < 0:
+            raise ValueError("max_branches/dbg_zone must be >= 0")
         return self
 
 

@@ -124,10 +124,11 @@ def extend_right(counts: np.ndarray, k: int, ext_len: int,
 
 
 class _Budget:
-    __slots__ = ("branches",)
+    __slots__ = ("branches", "max_branches")
 
-    def __init__(self) -> None:
+    def __init__(self, max_branches: int = MAX_BRANCHES) -> None:
         self.branches = 0
+        self.max_branches = max_branches
 
 
 def link(
@@ -147,7 +148,7 @@ def link(
     cur_ext is the path's base codes so far (starts as src's k codes);
     returns the full path codes (src..dst inclusive) or None.
     """
-    if budget.branches > MAX_BRANCHES or dist > max_size:
+    if budget.branches > budget.max_branches or dist > max_size:
         return None
 
     anchor = _codes_to_kmer(np.array(cur_ext[-k:]))
@@ -277,9 +278,15 @@ def polish_correction(
     counts: np.ndarray,
     k: int,
     solid_thresh: int,
+    max_branches: int = MAX_BRANCHES,
+    zone: int = ZONE,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Repair weak regions of a case-annotated consensus using solid
-    k-mer paths; returns new (codes, solid_mask)."""
+    k-mer paths; returns new (codes, solid_mask).
+
+    max_branches / zone default to the reference's hardcoded budgets
+    (correctionDBG.cpp:100,102) and are exposed as ConsentConfig
+    max_branches / dbg_zone."""
     codes = np.asarray(codes, dtype=np.uint8).copy()
     solid = np.asarray(solid_mask, dtype=bool).copy()
     visited: set = set()
@@ -307,12 +314,12 @@ def polish_correction(
     # ---- interior weak regions ----
     L = len(codes)
     while i < L:
-        src_end = next_src(solid, i, k + ZONE)
-        dst_end = next_dst(solid, src_end + 1, k + ZONE) if src_end != -1 else -1
+        src_end = next_src(solid, i, k + zone)
+        dst_end = next_dst(solid, src_end + 1, k + zone) if src_end != -1 else -1
         if src_end == -1 or dst_end == -1:
             break
-        src_beg = src_end - (k + ZONE) + 1
-        dst_beg = dst_end - (k + ZONE) + 1
+        src_beg = src_end - (k + zone) + 1
+        dst_beg = dst_end - (k + zone) + 1
 
         corrected: Optional[List[int]] = None
         anchors = get_anchors(
@@ -329,7 +336,7 @@ def polish_correction(
             if skm != dkm:
                 gap = tmp_dst_beg - tmp_src_end - 1
                 max_size = int(15.0 / 100.0 * 2.0 * gap + gap + k)
-                budget = _Budget()
+                budget = _Budget(max_branches)
                 src_codes = [int(c) for c in codes[tmp_src_beg : tmp_src_end + 1]]
                 corrected = link(
                     counts, skm, dkm, k, visited, budget, 0,

@@ -51,26 +51,37 @@ def split_read(codes: np.ndarray, solid: np.ndarray, window_size: int
     """Split at uncorrected gaps of >= window_size bases (reference
     splitRead, src/utils.cpp:130-164 — declared but never called by the
     v2.2 drivers; provided for parity/completeness).  Returns a list of
-    (codes, solid) pieces with the weak head/tail removed."""
+    (codes, solid) pieces.
+
+    Exact-parity quirks mirrored (fuzz-diffed against the compiled
+    reference in tests/test_reference_diff.py):
+      * the trailing tail scan starts at s[length] ('\\0', not upper)
+        and the final piece is substr(prev, i - prev), so the LAST
+        SOLID BASE IS ALWAYS EXCLUDED from the final piece
+        (utils.cpp:157-161),
+      * an all-weak read yields one empty piece, not zero pieces,
+      * pilesPos / windowOverlap params of the reference are unused
+        there and therefore not taken here."""
     solid = np.asarray(solid, dtype=bool)
-    idx = np.flatnonzero(solid)
-    if len(idx) == 0:
-        return []
-    beg, end = int(idx[0]), int(idx[-1])
-    pieces = []
-    prev = beg
-    run = 0
-    i = beg
-    while i <= end:
-        if not solid[i]:
-            run += 1
-        else:
-            if run >= window_size:
-                pieces.append(
-                    (codes[prev : i - run], solid[prev : i - run])
-                )
-                prev = i
-            run = 0
+    L = len(codes)
+    i = 0
+    while i < L and not solid[i]:
         i += 1
-    pieces.append((codes[prev : end + 1], solid[prev : end + 1]))
+    prev = i
+    nb = 0
+    pieces = []
+    while i < L:
+        if not solid[i]:
+            nb += 1
+        else:
+            if nb >= window_size:
+                pieces.append((codes[prev : i - nb], solid[prev : i - nb]))
+                prev = i
+            nb = 0
+        i += 1
+    # tail: i == L; s[L] reads as '\0' (not uppercase) in the reference
+    while i > 0 and (i >= L or not solid[i]):
+        i -= 1
+    end = max(i, prev)
+    pieces.append((codes[prev:end], solid[prev:end]))
     return pieces

@@ -63,9 +63,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.polish_correction.argtypes = [
             u8p, u8p, ctypes.c_int64, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             u8p, u8p, ctypes.c_int64,
         ]
         lib.polish_correction.restype = ctypes.c_int64
+        lib.count_anchors.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int
+        ]
+        lib.count_anchors.restype = ctypes.c_int64
         lib.local_align_span.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i64p,
@@ -75,7 +80,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def polish_correction_native(codes, solid, counts, k, solid_thresh):
+def polish_correction_native(codes, solid, counts, k, solid_thresh,
+                             max_branches=50, zone=3):
     """Native DBG repair; returns (codes, solid) or None if the library
     is unavailable (caller falls back to core.dbg)."""
     lib = get_lib()
@@ -91,11 +97,30 @@ def polish_correction_native(codes, solid, counts, k, solid_thresh):
     out_s = np.empty(cap, dtype=np.uint8)
     n = lib.polish_correction(
         codes, solid, len(codes), counts, k, solid_thresh,
+        max_branches, zone,
         out_c, out_s, cap,
     )
     if n < 0:
         return None
     return out_c[:n].copy(), out_s[:n].astype(bool)
+
+
+def count_anchors_native(frag_list, k, support):
+    """Native anchor count over one window's sequences (template first);
+    None if the library is unavailable (caller falls back to
+    ops.kmer.count_anchors_host)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not frag_list:
+        return 0
+    lens = np.array([len(f) for f in frag_list], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    blob = np.concatenate(
+        [np.ascontiguousarray(f, dtype=np.uint8) for f in frag_list]
+    ) if lens.sum() else np.zeros(1, np.uint8)
+    return int(lib.count_anchors(blob, lens, offsets, len(frag_list), k,
+                                 support))
 
 
 def count_kmers_native(frag_list, k):

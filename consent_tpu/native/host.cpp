@@ -202,8 +202,9 @@ struct Anchor {
 int64_t polish_correction(
     const uint8_t* in_codes, const uint8_t* in_solid, int64_t in_len,
     const int32_t* counts, int k, int solid_thresh,
+    int max_branches, int zone,
     uint8_t* out_codes, uint8_t* out_solid, int64_t out_cap) {
-    const int ZONE = 3, MAX_BRANCHES = 50, ANCHORS_NB = 5;
+    const int ZONE = zone, MAX_BRANCHES = max_branches, ANCHORS_NB = 5;
     Dbg g{counts, k, solid_thresh,
           (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1)};
 
@@ -266,8 +267,8 @@ int64_t polish_correction(
         std::vector<Anchor> anchors;
         {
             const int zn = k + ZONE - k + 1;  // k-mers per zone
-            uint64_t skm[8], dkm[8];
-            int scnt[8] = {0}, dcnt[8] = {0};
+            std::vector<uint64_t> skm(zn), dkm(zn);
+            std::vector<int> scnt(zn, 0), dcnt(zn, 0);
             for (int p = 0; p < zn; p++) {
                 skm[p] = codes_to_kmer(codes.data() + src_beg + p, k);
                 dkm[p] = codes_to_kmer(codes.data() + dst_beg + p, k);
@@ -461,4 +462,83 @@ extern "C" int64_t local_align_span(
     out[0] = opt; out[1] = qb; out[2] = qe; out[3] = rb; out[4] = re;
     out[5] = n_ins; out[6] = n_del;
     return opt;
+}
+
+// ---------------------------------------------------------------------------
+// MSA give-up gate (reference: BMEAN anchor scan feeding
+// correctionMSA.cpp:31-36 — bmeanSup = min(commonKMers, piles/2); fewer
+// than minAnchors anchors => consensus gives up, raw template kept).
+// An anchor here: a k-mer occurring exactly once in the template and
+// exactly once in each of >= `support` window sequences (template
+// included).  Uses a generation-stamped dense table so repeated calls
+// never re-clear the 4^k arrays.
+
+extern "C" int64_t count_anchors(const uint8_t* codes, const int64_t* lens,
+                      const int64_t* offsets, int64_t n_seqs, int k,
+                      int support) {
+    if (n_seqs <= 0) return 0;
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int64_t table_n = (int64_t)1 << (2 * k);
+    static thread_local std::vector<int32_t> gen, occ, share;
+    static thread_local int32_t generation = 0;
+    static thread_local std::vector<int32_t> sgen;
+    if ((int64_t)gen.size() != table_n) {
+        gen.assign(table_n, -1);
+        occ.assign(table_n, 0);
+        share.assign(table_n, 0);
+        sgen.assign(table_n, -1);
+        generation = 0;
+    }
+
+    // per sequence: mark k-mers occurring exactly once, bump share count
+    int32_t sg = generation;  // share-generation for this call
+    for (int64_t f = 0; f < n_seqs; f++) {
+        generation++;
+        const uint8_t* s = codes + offsets[f];
+        int64_t n = lens[f];
+        if (n < k) continue;
+        uint64_t km = 0;
+        for (int i = 0; i < k - 1; i++) km = (km << 2) | s[i];
+        for (int64_t i = k - 1; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            if (gen[km] != generation) { gen[km] = generation; occ[km] = 0; }
+            occ[km]++;
+        }
+        // second pass over this sequence's distinct k-mers
+        km = 0;
+        for (int i = 0; i < k - 1; i++) km = (km << 2) | s[i];
+        for (int64_t i = k - 1; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            if (occ[km] == 1) {
+                if (sgen[km] != sg) { sgen[km] = sg; share[km] = 0; }
+                share[km]++;
+                occ[km] = -1;  // count each distinct k-mer once per seq
+            }
+        }
+    }
+
+    // anchors: template (sequence 0) k-mers unique in the template and
+    // shared (exactly-once) by >= support sequences (template included)
+    int64_t n_anchors = 0;
+    const uint8_t* t = codes + offsets[0];
+    int64_t tn = lens[0];
+    if (tn < k) { generation += 1; return 0; }
+    generation++;
+    uint64_t km = 0;
+    for (int i = 0; i < k - 1; i++) km = (km << 2) | t[i];
+    for (int64_t i = k - 1; i < tn; i++) {
+        km = ((km << 2) | t[i]) & mask;
+        if (gen[km] != generation) { gen[km] = generation; occ[km] = 0; }
+        occ[km]++;
+    }
+    km = 0;
+    for (int i = 0; i < k - 1; i++) km = (km << 2) | t[i];
+    for (int64_t i = k - 1; i < tn; i++) {
+        km = ((km << 2) | t[i]) & mask;
+        if (occ[km] != 1) continue;  // repeated in template, or judged
+        occ[km] = -2;
+        if (sgen[km] == sg && share[km] >= support) n_anchors++;
+    }
+    generation++;
+    return n_anchors;
 }

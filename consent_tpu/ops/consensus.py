@@ -86,7 +86,8 @@ def _nearest_valid_right(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S", "min_column_support", "scoring")
+    jax.jit,
+    static_argnames=("S", "min_column_support", "scoring", "axis_name"),
 )
 def consensus_votes(
     frags: jnp.ndarray,      # [B, S, Lf] uint8 codes
@@ -98,7 +99,12 @@ def consensus_votes(
     min_column_support: int = 2,
     scoring: align_ops.Scoring = align_ops.Scoring(),
     frag_d0: jnp.ndarray | None = None,  # [B, S] expected start column
+    axis_name: str | None = None,  # mesh axis sharding the S dim
 ) -> WindowVotes:
+    """Batched realign-vote consensus.  When the fragment-slot dim is
+    sharded over a mesh axis (shard_map over `frag`), S is the *local*
+    slot count and `axis_name` turns every per-window vote reduction
+    into an all-reduce over that axis."""
     B, S_, Lf = frags.shape
     assert S_ == S
     W = tpl.shape[1]
@@ -140,7 +146,10 @@ def consensus_votes(
 
     # ---- reduce over fragment slots per window ----
     def red(x):
-        return x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+        y = x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        return y
 
     onehot = (base[:, :, None] == jnp.arange(4)[None, None, :]) & matched[
         :, :, None
@@ -184,7 +193,7 @@ def consensus_votes(
     pre_codes = jnp.take_along_axis(q.astype(jnp.int32), pre_idx, axis=1)
     pre_ok = kk < pre_cnt[:, None]
     pre_len, pre_base = _edge_majority(
-        pre_valid, pre_cnt, pre_codes, pre_ok, B, S
+        pre_valid, pre_cnt, pre_codes, pre_ok, B, S, axis_name
     )
 
     last_col = jnp.clip(r_len - 1, 0, W - 1)             # [N]
@@ -198,7 +207,7 @@ def consensus_votes(
     suf_codes = jnp.take_along_axis(q.astype(jnp.int32), suf_idx, axis=1)
     suf_ok = kk < suf_cnt[:, None]
     suf_len, suf_base = _edge_majority(
-        suf_valid, suf_cnt, suf_codes, suf_ok, B, S
+        suf_valid, suf_cnt, suf_codes, suf_ok, B, S, axis_name
     )
 
     return WindowVotes(
@@ -215,7 +224,7 @@ def consensus_votes(
     )
 
 
-def _edge_majority(valid, cnt, codes, ok, B, S):
+def _edge_majority(valid, cnt, codes, ok, B, S, axis_name=None):
     """Majority insertion vote at a window edge.
 
     valid/cnt: [N]; codes/ok: [N, K].  Returns ([B], [B, K])."""
@@ -223,7 +232,10 @@ def _edge_majority(valid, cnt, codes, ok, B, S):
     kk = jnp.arange(K)[None, :]
 
     def red(x):
-        return x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+        y = x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        return y
 
     n_valid = red(valid.astype(jnp.int32))                        # [B]
     more = red((cnt[:, None] > kk).astype(jnp.int32))             # [B, K]

@@ -66,6 +66,33 @@ def count_kmers_host(frag_list, k: int) -> np.ndarray:
     return total
 
 
+def count_anchors_host(frag_list, k: int, support: int) -> int:
+    """Anchor count over one window's sequences (template first).
+
+    The MSA give-up gate's statistic (reference: BMEAN's anchor scan
+    feeding correctionMSA.cpp:31-36): an anchor is a k-mer occurring
+    exactly once in the template and exactly once in each of >=
+    `support` window sequences (template included).  Windows with fewer
+    than minAnchors anchors fall back to the raw template."""
+    if not frag_list or len(frag_list[0]) < k:
+        return 0
+    tpl_ks = seqs.kmer_codes(frag_list[0], k)
+    uniq_t, cnt_t = np.unique(tpl_ks, return_counts=True)
+    once_t = set(uniq_t[cnt_t == 1].tolist())
+    if not once_t:
+        return 0
+    share: dict = {}
+    for codes in frag_list:
+        ks = seqs.kmer_codes(codes, k)
+        if not len(ks):
+            continue
+        uniq, cnt = np.unique(ks, return_counts=True)
+        for km in uniq[cnt == 1].tolist():
+            if km in once_t:
+                share[km] = share.get(km, 0) + 1
+    return sum(1 for v in share.values() if v >= support)
+
+
 def solidity_mask(consensus: np.ndarray, counts: np.ndarray, k: int,
                   solid_thresh: int) -> np.ndarray:
     """Case channel of the consensus (host).

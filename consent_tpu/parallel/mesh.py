@@ -1,24 +1,34 @@
 """Mesh construction and sharded consensus dispatch.
 
 The reference's only parallelism is a CTPL thread pool over piles
-(SURVEY.md §2b).  The TPU-native equivalents here:
+(SURVEY.md §2b, CONSENT-correction.cpp:76-135).  The TPU-native
+equivalents here:
 
   * `data` axis — windows of a batch sharded across devices (the
-    embarrassingly-parallel read/window data parallelism),
+    embarrassingly-parallel read/window data parallelism).  This is the
+    production engine's axis: `shard_map` splits each window batch over
+    the local devices, every device runs the same Pallas/XLA consensus
+    kernel on its shard, and no collective is needed.
   * `frag` axis — fragment slots of each window sharded across devices;
-    the per-column vote reductions (sum over fragments) become XLA
-    all-reduces over this axis, inserted automatically by GSPMD from
-    the sharding annotations.
+    the per-column vote reductions (sum over fragments) become
+    `jax.lax.psum` all-reduces over this axis inside the shard_map body
+    (ops/consensus.py's `axis_name` plumb).  Useful when piles are deep
+    (polishing: maxSupport=20000) and windows few.
 
 Multi-host runs shard piles across processes at the host level
-(per-host PAF shards, concatenated outputs); inside each host this mesh
-spans the local devices.
+(parallel/multihost.py); inside each host these meshes span the local
+devices.
+
+shard_map is used instead of bare GSPMD sharding annotations because the
+hot path is a Pallas kernel: an opaque custom call GSPMD cannot
+partition.  Under shard_map each device traces the kernel on its local
+shard shape, which is exactly the manual SPMD the workload wants.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,14 +51,80 @@ def make_mesh(
     return Mesh(arr, ("data", "frag"))
 
 
-def shard_votes_inputs(mesh: Mesh, frags, frag_len, tpl, tpl_len):
-    """Place consensus inputs: windows over `data`, fragment slots over
-    `frag`, templates replicated along `frag`."""
-    fr = jax.device_put(frags, NamedSharding(mesh, P("data", "frag", None)))
-    fl = jax.device_put(frag_len, NamedSharding(mesh, P("data", "frag")))
-    tp = jax.device_put(tpl, NamedSharding(mesh, P("data", None)))
-    tl = jax.device_put(tpl_len, NamedSharding(mesh, P("data")))
-    return fr, fl, tp, tl
+def make_data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-axis data mesh over local devices (the engine's mesh)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def put_batch(mesh: Mesh, arrays, specs):
+    """device_put host arrays with the given PartitionSpecs."""
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, sp))
+        for a, sp in zip(arrays, specs)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_votes_fn(
+    mesh: Mesh,
+    S: int,
+    min_column_support: int,
+    scoring: align_ops.Scoring,
+    with_d0: bool,
+):
+    """jit(shard_map(consensus_votes)) over the mesh.
+
+    With a `frag` axis of size nf > 1, each device holds S/nf fragment
+    slots and the vote reductions all-reduce over `frag`; the returned
+    callable still takes the full [B, S, ...] arrays.
+    """
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    nf = axes.get("frag", 1)
+    assert S % nf == 0, (S, nf)
+    S_local = S // nf
+    frag = "frag" if nf > 1 else None
+    axis_name = "frag" if nf > 1 else None
+
+    def body(frags, frag_len, tpl, tpl_len, frag_d0=None):
+        return cons_ops.consensus_votes(
+            frags, frag_len, tpl, tpl_len,
+            S=S_local,
+            min_column_support=min_column_support,
+            scoring=scoring,
+            frag_d0=frag_d0,
+            axis_name=axis_name,
+        )
+
+    in_specs = [
+        P("data", frag, None),   # frags
+        P("data", frag),         # frag_len
+        P("data", None),         # tpl (replicated over frag)
+        P("data"),               # tpl_len
+    ]
+    if with_d0:
+        in_specs.append(P("data", frag))
+    out_specs = cons_ops.WindowVotes(
+        col_base=P("data", None),
+        col_del=P("data", None),
+        ins_len=P("data", None),
+        ins_base=P("data", None, None),
+        coverage=P("data", None),
+        n_matched=P("data", None),
+        pre_len=P("data"),
+        pre_base=P("data", None),
+        suf_len=P("data"),
+        suf_base=P("data", None),
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def sharded_consensus_step(
@@ -61,13 +137,23 @@ def sharded_consensus_step(
     S: int,
     min_column_support: int = 2,
     scoring: align_ops.Scoring = align_ops.Scoring(),
+    frag_d0=None,
 ) -> cons_ops.WindowVotes:
-    """One device-parallel consensus step: inputs sharded over
-    (data, frag); GSPMD turns the fragment-sum vote reductions into
-    all-reduces over the `frag` axis."""
-    fr, fl, tp, tl = shard_votes_inputs(mesh, frags, frag_len, tpl, tpl_len)
-    with jax.sharding.set_mesh(mesh):
-        return cons_ops.consensus_votes(
-            fr, fl, tp, tl,
-            S=S, min_column_support=min_column_support, scoring=scoring,
-        )
+    """One device-parallel consensus step: window batch split over
+    `data`, fragment slots over `frag` (vote reductions become
+    all-reduces over `frag`).  Inputs are host or device arrays with
+    leading dim B divisible by the data-axis size (and S by the frag
+    size)."""
+    fn = sharded_votes_fn(
+        mesh, S, min_column_support, scoring, frag_d0 is not None
+    )
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    frag = "frag" if axes.get("frag", 1) > 1 else None
+    specs = [P("data", frag, None), P("data", frag), P("data", None),
+             P("data")]
+    args = [frags, frag_len, tpl, tpl_len]
+    if frag_d0 is not None:
+        specs.append(P("data", frag))
+        args.append(frag_d0)
+    args = put_batch(mesh, args, specs)
+    return fn(*args)

@@ -38,7 +38,6 @@ from consent_tpu.pipeline import stitch as stitch_mod
 from consent_tpu.utils.observe import GLOBAL_STATS as STATS
 
 S_BUCKETS = (4, 8, 16, 32, 64, 152)
-MAX_LANES = 1024      # B*S cap per device consensus call
 
 
 @dataclasses.dataclass
@@ -80,6 +79,18 @@ class ConsensusEngine:
         self.s_cap = S_BUCKETS[-1]
         self.Lf = self._round128(cfg.window_size)
         self.Lt = self._round128(cfg.window_size + cfg.frag_slack)
+        # device parallelism: window batches split over a 1-D `data`
+        # mesh of the local devices via shard_map (the TPU equivalent
+        # of the reference's CTPL fan-out, CONSENT-correction.cpp:77)
+        n_local = len(jax.devices())
+        self.n_devices = min(cfg.n_devices or n_local, n_local)
+        if self.n_devices > 1:
+            from consent_tpu.parallel import mesh as mesh_mod
+
+            self.mesh = mesh_mod.make_data_mesh(self.n_devices)
+        else:
+            self.mesh = None
+        self.max_lanes = cfg.device_lanes * self.n_devices
 
     @staticmethod
     def _round128(x: int) -> int:
@@ -100,7 +111,7 @@ class ConsensusEngine:
             buckets.setdefault(b, []).append(t)
 
         for S, ts in buckets.items():
-            max_b = max(1, MAX_LANES // S)
+            max_b = max(1, self.max_lanes // S)
             for lo in range(0, len(ts), max_b):
                 self._run_batch(ts[lo : lo + max_b], S)
 
@@ -115,15 +126,16 @@ class ConsensusEngine:
             ts, S, frags, frag_len, frag_d0, tpl, tpl_len
         )
 
-    @staticmethod
-    def _pad_b(n: int) -> int:
-        """Window-batch sizes come from a tiny fixed set (powers of
-        two) so every (B, S) shape hits a cached executable — ragged
-        tails otherwise trigger minutes-long tunnel compiles."""
+    def _pad_b(self, n: int) -> int:
+        """Window-batch sizes come from a tiny fixed set (n_devices x
+        powers of two) so every (B, S) shape hits a cached executable —
+        ragged tails otherwise trigger minutes-long tunnel compiles —
+        and every device gets an equal shard."""
+        d = self.n_devices
         b = 1
-        while b < n:
+        while d * b < n:
             b *= 2
-        return b
+        return d * b
 
     def _build_arrays(self, ts, S):
         cfg = self.cfg
@@ -151,23 +163,51 @@ class ConsensusEngine:
                           tpl_len):
         cfg = self.cfg
         B = frags.shape[0]          # padded batch size (fixed shape set)
-        frags_d = jnp.asarray(frags)
-        flen_d = jnp.asarray(frag_len)
-        fd0_d = jnp.asarray(frag_d0) if self.scoring.band else None
+        use_d0 = bool(self.scoring.band)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from consent_tpu.parallel import mesh as mesh_mod
+
+            put = mesh_mod.put_batch(
+                self.mesh,
+                (frags, frag_len) + ((frag_d0,) if use_d0 else ()),
+                (P("data", None, None), P("data", None))
+                + ((P("data", None),) if use_d0 else ()),
+            )
+            frags_d, flen_d = put[0], put[1]
+            fd0_d = put[2] if use_d0 else None
+        else:
+            frags_d = jnp.asarray(frags)
+            flen_d = jnp.asarray(frag_len)
+            fd0_d = jnp.asarray(frag_d0) if use_d0 else None
         cur_tpl, cur_tlen = tpl, tpl_len
 
         for _ in range(max(1, cfg.consensus_rounds)):
             with STATS.timer("consensus.device_votes", B):
-                votes = cons_ops.consensus_votes(
-                    frags_d,
-                    flen_d,
-                    jnp.asarray(cur_tpl),
-                    jnp.asarray(cur_tlen),
-                    S=S,
-                    min_column_support=cfg.min_column_support,
-                    scoring=self.scoring,
-                    frag_d0=fd0_d,
-                )
+                if self.mesh is not None:
+                    votes = mesh_mod.sharded_consensus_step(
+                        self.mesh,
+                        frags_d,
+                        flen_d,
+                        cur_tpl,
+                        cur_tlen,
+                        S=S,
+                        min_column_support=cfg.min_column_support,
+                        scoring=self.scoring,
+                        frag_d0=fd0_d,
+                    )
+                else:
+                    votes = cons_ops.consensus_votes(
+                        frags_d,
+                        flen_d,
+                        jnp.asarray(cur_tpl),
+                        jnp.asarray(cur_tlen),
+                        S=S,
+                        min_column_support=cfg.min_column_support,
+                        scoring=self.scoring,
+                        frag_d0=fd0_d,
+                    )
                 votes = jax.tree.map(np.asarray, votes)
             with STATS.timer("consensus.assemble", B):
                 cons_list = cons_ops.assemble_consensus_batch(
@@ -193,18 +233,38 @@ class ConsensusEngine:
             dense = native.count_kmers_native(use, cfg.mer_size)
             if dense is None:
                 dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
+            # MSA give-up gate (-c/-a): windows with fewer than
+            # min_anchors anchor k-mers keep the raw template,
+            # unweighted and unpolished (correctionMSA.cpp:31-36
+            # returns piles[0], an uppercase = all-solid string).
+            bmean_sup = min(cfg.common_kmers, len(use) // 2)
+            n_anch = native.count_anchors_native(
+                use, cfg.mer_size, bmean_sup
+            )
+            if n_anch is None:
+                n_anch = kmer_ops.count_anchors_host(
+                    use, cfg.mer_size, bmean_sup
+                )
+            if n_anch < cfg.min_anchors:
+                tpl_f = np.asarray(t.frags[0], dtype=np.uint8)
+                t.consensus = tpl_f
+                t.solid = np.ones(len(tpl_f), dtype=bool)
+                t.counts = SparseCounts.from_dense(dense)
+                continue
             if len(cons) >= cfg.mer_size:
                 solid = kmer_ops.solidity_mask(
                     cons, dense, cfg.mer_size, cfg.solid_thresh
                 )
                 res = native.polish_correction_native(
-                    cons, solid, dense, cfg.mer_size, cfg.solid_thresh
+                    cons, solid, dense, cfg.mer_size, cfg.solid_thresh,
+                    cfg.max_branches, cfg.dbg_zone,
                 )
                 if res is not None:
                     cons, solid = res
                 else:
                     cons, solid = dbg_mod.polish_correction(
-                        cons, solid, dense, cfg.mer_size, cfg.solid_thresh
+                        cons, solid, dense, cfg.mer_size, cfg.solid_thresh,
+                        cfg.max_branches, cfg.dbg_zone,
                     )
             else:
                 # too short for weighting: reference skips weighting and
@@ -254,10 +314,10 @@ def process_piles(
     reads yield empty arrays (the caller skips empty output, as the
     reference does at CONSENT-correction.cpp:101-103).
     """
+    engine = ConsensusEngine(cfg)
     if batch_align is None:
         from consent_tpu.pipeline.device_align import make_fixed_aligner
-        batch_align = make_fixed_aligner(cfg)
-    engine = ConsensusEngine(cfg)
+        batch_align = make_fixed_aligner(cfg, mesh=engine.mesh)
 
     chunk: List[Pile] = []
 

@@ -158,15 +158,20 @@ class StitchJob:
                         sm1 = int(np.count_nonzero(seq1_s))
                         sm2 = int(np.count_nonzero(seq2_s))
                     if sm1 > sm2:
-                        # keep the previous window's version of the overlap
+                        # keep the previous window's version of the
+                        # overlap; the reference clamps the ref side of
+                        # this sub-alignment to min(len1, len2)
+                        # (correctionAlignment.cpp:110) — both are
+                        # `overlap` long here, but mirror it exactly
                         from consent_tpu import native
 
+                        ref_len = min(len(seq1_c), len(seq2_c))
                         sub = native.local_align_native(
-                            seq1_c, seq2_c, **STITCH_SCORING
+                            seq1_c, seq2_c[:ref_len], **STITCH_SCORING
                         )
                         if sub is None:
                             sub = npalign.local_align(
-                                seq1_c, seq2_c, **STITCH_SCORING
+                                seq1_c, seq2_c[:ref_len], **STITCH_SCORING
                             )
                         cut = overlap - sub.n_ins + sub.n_del
                         if cut < len(cur_c):

@@ -43,7 +43,7 @@ def test_correction_improves_identity(sim):
     genome, reads = sim
     cfg = correct_preset(
         window_size=200, window_overlap=20, min_support=3,
-        batch_windows=16, consensus_rounds=1,
+        consensus_rounds=1,
     )
     piles, results = run_pipeline(genome, reads, cfg)
     by_name = {r.name: r for r in reads}

@@ -23,7 +23,7 @@ def test_polishing_improves_assembly():
 
     cfg = polish_preset(
         window_size=200, window_overlap=20,
-        batch_windows=16, consensus_rounds=1,
+        consensus_rounds=1,
     )
     index = ReadIndex()
     index.add("contig1", draft)
