@@ -50,16 +50,20 @@ def test_split_read_at_large_gaps():
     pieces = pp.split_read(codes, solid, window_size=5)
     assert len(pieces) == 2
     assert seqs.decode(pieces[0][0], pieces[0][1]) == "AAAA"
-    assert seqs.decode(pieces[1][0], pieces[1][1]) == "CCCCaaGGGG"
+    # the reference's final piece always drops the last solid base
+    # (utils.cpp:157-161; fuzz-diffed in test_reference_diff.py)
+    assert seqs.decode(pieces[1][0], pieces[1][1]) == "CCCCaaGGG"
 
 
 def test_split_read_no_gaps():
     codes, solid = mk("aAAAAa")
     pieces = pp.split_read(codes, solid, window_size=5)
     assert len(pieces) == 1
-    assert seqs.decode(pieces[0][0], pieces[0][1]) == "AAAA"
+    assert seqs.decode(pieces[0][0], pieces[0][1]) == "AAA"
 
 
 def test_split_read_all_weak():
+    # one EMPTY piece, not zero pieces (reference substr(len, ...))
     codes, solid = mk("aaaa")
-    assert pp.split_read(codes, solid, 5) == []
+    pieces = pp.split_read(codes, solid, 5)
+    assert len(pieces) == 1 and len(pieces[0][0]) == 0

@@ -1,0 +1,437 @@
+"""Differential tests against the COMPILED reference code.
+
+tests/ref_shim/shim.cpp wraps the original reference translation units
+(compiled in place from /root/reference/src — never copied) behind a C
+ABI; these tests fuzz-diff each ported stage against it byte for byte:
+
+  * window positions          vs getAlignmentWindowsPositions
+  * fragment clipping         vs getAlignmentWindowsSequences
+  * pile streaming/top-k      vs getNextReadPile
+  * trim / drop / split       vs trimRead / dropRead / splitRead
+  * reverse complement        vs rev_comp::run
+  * 2-bit codec semantics     vs fullstr2num/fullnum2str
+  * query regrouping          vs explode + merge composition
+  * PAF reformatting          vs reformatPAF
+
+Skipped wholesale when /root/reference or g++ is unavailable.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from consent_tpu.core import postprocess, windows as win_mod
+from consent_tpu.io import paf as paf_mod
+from consent_tpu.io import seqs
+from consent_tpu.io.paf import OVERLAP_DTYPE, Pile
+
+REF = "/root/reference"
+HERE = os.path.dirname(os.path.abspath(__file__))
+SHIM_SRC = os.path.join(HERE, "ref_shim", "shim.cpp")
+
+N_FUZZ = 300  # cases per stage (x multiple stages > 1000 total diffs)
+
+
+def _build(tmpdir):
+    shim = os.path.join(tmpdir, "ref_shim.so")
+    units = [
+        f"{REF}/src/alignmentWindows.cpp",
+        f"{REF}/src/alignmentPiles.cpp",
+        f"{REF}/src/utils.cpp",
+        f"{REF}/src/reverseComplement.cpp",
+    ]
+    subprocess.run(
+        ["g++", "-std=c++11", "-O2", "-fPIC", "-shared",
+         "-I", f"{REF}/src", SHIM_SRC, *units, "-o", shim],
+        check=True, capture_output=True,
+    )
+    bins = {}
+    for name in ("explode", "merge", "reformatPAF"):
+        out = os.path.join(tmpdir, name)
+        subprocess.run(
+            ["g++", "-std=c++11", "-O2", f"{REF}/src/{name}.cpp",
+             "-I", f"{REF}/src", "-o", out],
+            check=True, capture_output=True,
+        )
+        bins[name] = out
+    return shim, bins
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    if not os.path.isdir(os.path.join(REF, "src")):
+        pytest.skip("reference sources unavailable")
+    tmpdir = str(tmp_path_factory.mktemp("ref_shim"))
+    try:
+        shim_path, bins = _build(tmpdir)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot compile reference shim: {e}")
+    lib = ctypes.CDLL(shim_path)
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c = ctypes
+    lib.ref_window_positions.argtypes = [
+        c.c_uint32, c.c_int, u32p, u32p, c.c_uint32, c.c_uint32,
+        c.c_uint32, c.c_int32, u32p, c.c_int64,
+    ]
+    lib.ref_window_positions.restype = c.c_int64
+    lib.ref_window_sequences.argtypes = [
+        c.c_int, u32p, u32p, u32p, u8p, u32p, u32p, u32p, i32p,
+        c.c_int, c.POINTER(c.c_char_p), c.POINTER(c.c_char_p),
+        c.c_char_p, c.c_uint32, c.c_uint32, c.c_uint32,
+        c.c_char_p, c.c_int64,
+    ]
+    lib.ref_window_sequences.restype = c.c_int64
+    lib.ref_read_piles.argtypes = [c.c_char_p, c.c_uint32, c.c_char_p,
+                                   c.c_int64]
+    lib.ref_read_piles.restype = c.c_int64
+    lib.ref_trim_read.argtypes = [c.c_char_p, c.c_uint32, c.c_char_p,
+                                  c.c_int64]
+    lib.ref_trim_read.restype = c.c_int64
+    lib.ref_drop_read.argtypes = [c.c_char_p]
+    lib.ref_drop_read.restype = c.c_int32
+    lib.ref_split_read.argtypes = [
+        c.c_char_p, c.c_char_p, c.c_int, u32p, u32p, c.c_uint32,
+        c.c_uint32, c.c_char_p, c.c_int64,
+    ]
+    lib.ref_split_read.restype = c.c_int64
+    lib.ref_revcomp.argtypes = [c.c_char_p, c.c_char_p, c.c_int64]
+    lib.ref_revcomp.restype = c.c_int64
+    lib.ref_pack_roundtrip.argtypes = [c.c_char_p, c.c_char_p, c.c_int64]
+    lib.ref_pack_roundtrip.restype = c.c_int64
+    lib._bins = bins
+    return lib
+
+
+BUF = 1 << 20
+
+
+def _out():
+    return ctypes.create_string_buffer(BUF)
+
+
+# ---------------------------------------------------------------------------
+# window positions
+
+
+def test_window_positions_fuzz(ref):
+    rng = np.random.default_rng(0)
+    for case in range(N_FUZZ):
+        q_len = int(rng.integers(20, 1200))
+        n_ov = int(rng.integers(1, 25))
+        qs = rng.integers(0, q_len, n_ov).astype(np.uint32)
+        lens = rng.integers(1, q_len, n_ov)
+        qe = np.minimum(qs + lens, q_len - 1).astype(np.uint32)
+        W = int(rng.choice([32, 64, 200, 500]))
+        o = int(rng.integers(0, max(1, W // 2)))
+        min_sup = int(rng.integers(1, 5))
+
+        out = np.zeros(4096, np.uint32)
+        n = ref.ref_window_positions(q_len, n_ov, qs, qe, min_sup,
+                                     10000, W, o, out, len(out))
+        assert n >= 0
+        theirs = [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+        ov = np.zeros(n_ov, dtype=OVERLAP_DTYPE)
+        ov["q_start"] = qs
+        ov["q_end"] = qe
+        cov = win_mod.coverage(q_len, ov)
+        ours = win_mod.window_positions(q_len, cov, min_sup, W, o)
+        assert ours == theirs, (case, q_len, W, o, min_sup)
+
+
+# ---------------------------------------------------------------------------
+# fragment clipping
+
+
+def _rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+def test_window_sequences_fuzz(ref):
+    rng = np.random.default_rng(1)
+    for case in range(N_FUZZ):
+        q_len = int(rng.integers(60, 400))
+        tpl_s = _rand_seq(rng, q_len)
+        n_t = int(rng.integers(1, 6))
+        t_names = [f"t{i}" for i in range(n_t)]
+        t_seqs = [_rand_seq(rng, int(rng.integers(40, 500)))
+                  for _ in range(n_t)]
+        n_ov = int(rng.integers(1, 12))
+
+        qL = np.full(n_ov, q_len, np.uint32)
+        qs = rng.integers(0, q_len - 1, n_ov).astype(np.uint32)
+        qe = np.minimum(
+            qs + rng.integers(10, q_len, n_ov), q_len - 1
+        ).astype(np.uint32)
+        idx = rng.integers(0, n_t, n_ov).astype(np.int32)
+        tL = np.array([len(t_seqs[i]) for i in idx], np.uint32)
+        ts = np.array(
+            [rng.integers(0, max(1, L - 1)) for L in tL], np.uint32
+        )
+        te = np.minimum(
+            ts + (qe - qs) + rng.integers(-5, 6, n_ov), tL - 1
+        )
+        te = np.maximum(te, ts).astype(np.uint32)
+        strand = rng.integers(0, 2, n_ov).astype(np.uint8)
+
+        W = int(rng.choice([40, 64, 100]))
+        beg = int(rng.integers(0, max(1, q_len - W)))
+        end = beg + W - 1
+        k = 9
+
+        names_arr = (ctypes.c_char_p * n_t)(
+            *[s.encode() for s in t_names]
+        )
+        seqs_arr = (ctypes.c_char_p * (n_t + 1))(
+            *([s.encode() for s in t_seqs] + [tpl_s.encode()])
+        )
+        out = _out()
+        n = ref.ref_window_sequences(
+            n_ov, qL, qs, qe, strand, tL, ts, te, idx,
+            n_t + 1, names_arr, seqs_arr, b"q", beg, end, k, out, BUF,
+        )
+        assert n >= 0
+        theirs = out.raw[:n].decode().split("\n")[:-1]
+
+        ov = np.zeros(n_ov, dtype=OVERLAP_DTYPE)
+        ov["q_len"] = qL
+        ov["q_start"] = qs
+        ov["q_end"] = qe
+        ov["strand"] = strand.astype(bool)
+        ov["t_len"] = tL
+        ov["t_start"] = ts
+        ov["t_end"] = te
+        pile = Pile(q_name="q", t_names=[t_names[i] for i in idx], ov=ov)
+        sequences = {"q": seqs.encode(tpl_s)}
+        for nm, s in zip(t_names, t_seqs):
+            sequences[nm] = seqs.encode(s)
+        frags = win_mod.clip_fragments(pile, sequences, beg, end, k)
+        ours = [seqs.decode(f) for f in frags]
+        assert ours == theirs, case
+
+
+# ---------------------------------------------------------------------------
+# pile streaming (query grouping + top-k by matches)
+
+
+def test_read_piles_fuzz(ref, tmp_path):
+    rng = np.random.default_rng(2)
+    for case in range(40):
+        n_reads = int(rng.integers(1, 8))
+        lines = []
+        expect_names = []
+        for r in range(n_reads):
+            n_ov = int(rng.integers(1, 9))
+            expect_names.append(f"r{r}")
+            # distinct matches values: the reference's std::sort is
+            # unstable, so ties have unspecified order
+            matches = rng.permutation(1000)[:n_ov]
+            for j in range(n_ov):
+                ql = int(rng.integers(50, 300))
+                a = int(rng.integers(0, ql - 2))
+                b = int(rng.integers(a + 1, ql))
+                tl = int(rng.integers(50, 300))
+                ta = int(rng.integers(0, tl - 2))
+                tb = int(rng.integers(ta + 1, tl))
+                lines.append(
+                    f"r{r}\t{ql}\t{a}\t{b}\t"
+                    f"{'-' if rng.integers(0, 2) else '+'}\t"
+                    f"t{j}\t{tl}\t{ta}\t{tb}\t{matches[j]}\t100\t60"
+                )
+        paf = tmp_path / f"case{case}.paf"
+        paf.write_text("\n".join(lines) + "\n")
+        max_sup = int(rng.integers(1, 6))
+
+        out = _out()
+        n = ref.ref_read_piles(str(paf).encode(), max_sup, out, BUF)
+        assert n >= 0
+        theirs = out.raw[:n].decode().split("\n")[:-1]
+
+        ours = []
+        with open(paf) as f:
+            for pile in paf_mod.iter_piles(f, max_sup):
+                for i in range(len(pile)):
+                    ours.append(
+                        f"{pile.q_name}\t{pile.t_names[i]}\t"
+                        f"{pile.ov['q_start'][i]}\t{pile.ov['q_end'][i]}\t"
+                        f"{pile.ov['t_start'][i]}\t{pile.ov['t_end'][i]}\t"
+                        f"{pile.ov['matches'][i]}\t"
+                        f"{int(pile.ov['strand'][i])}"
+                    )
+                ours.append("#")
+        assert ours == theirs, case
+
+
+# ---------------------------------------------------------------------------
+# trim / drop / split / revcomp / codec
+
+
+def _rand_cased(rng, n):
+    s = _rand_seq(rng, n)
+    mask = rng.integers(0, 2, n).astype(bool)
+    return "".join(c if m else c.lower() for c, m in zip(s, mask))
+
+
+def _to_codes(cased):
+    codes = seqs.encode(cased.upper())
+    solid = np.array([c.isupper() for c in cased], bool)
+    return codes, solid
+
+
+def _has_upper_run(s, k):
+    run = 0
+    for ch in s:
+        run = run + 1 if ch.isupper() else 0
+        if run >= k:
+            return True
+    return False
+
+
+def test_trim_drop_fuzz(ref):
+    rng = np.random.default_rng(3)
+    for case in range(N_FUZZ):
+        n = int(rng.integers(1, 80))
+        s = _rand_cased(rng, n)
+        k = int(rng.integers(1, 6))
+        if not _has_upper_run(s, k):
+            # reference trimRead has unsigned-wrap UB (OOB read) when
+            # no uppercase k-run exists (utils.cpp:113 `i >= 0` on
+            # unsigned); its callers never hit that case — keep the
+            # diff domain inside the defined precondition
+            continue
+        out = _out()
+        m = ref.ref_trim_read(s.encode(), k, out, BUF)
+        theirs = out.raw[:m].decode()
+        codes, solid = _to_codes(s)
+        tc, tsld = postprocess.trim_read(codes, solid, k)
+        assert seqs.decode(tc, tsld) == theirs, (case, s, k)
+        assert bool(ref.ref_drop_read(s.encode())) == postprocess.drop_read(
+            solid
+        ), (case, s)
+
+
+def test_split_read_fuzz(ref):
+    rng = np.random.default_rng(4)
+    for case in range(100):
+        n = int(rng.integers(30, 300))
+        s = _rand_cased(rng, n)
+        W = int(rng.choice([20, 50]))
+        o = int(rng.integers(0, W // 2))
+        n_pos = int(rng.integers(1, 5))
+        pb = np.sort(rng.integers(0, n, n_pos)).astype(np.uint32)
+        pe = np.minimum(pb + W - 1, n - 1).astype(np.uint32)
+        out = _out()
+        m = ref.ref_split_read(b"read1", s.encode(), n_pos, pb, pe, W, o,
+                               out, BUF)
+        assert m >= 0
+        theirs = out.raw[:m].decode().split("\n")[:-1]
+        codes, solid = _to_codes(s)
+        pieces = postprocess.split_read(codes, solid, W)
+        ours = [seqs.decode(c, sm) for c, sm in pieces]
+        assert ours == theirs, (case, s, W, o)
+
+
+def test_revcomp_and_codec_fuzz(ref):
+    rng = np.random.default_rng(5)
+    for case in range(N_FUZZ):
+        n = int(rng.integers(1, 100))
+        s = _rand_seq(rng, n)
+        out = _out()
+        m = ref.ref_revcomp(s.encode(), out, BUF)
+        assert seqs.decode(seqs.revcomp(seqs.encode(s))) == out.raw[
+            :m
+        ].decode()
+        # codec: reference 2-bit round trip maps non-ACGT to T
+        messy = "".join(
+            ch if rng.integers(0, 4) else "N" for ch in s
+        )
+        m = ref.ref_pack_roundtrip(messy.encode(), out, BUF)
+        ours = seqs.decode(
+            seqs.unpack_2bit(seqs.pack_2bit(seqs.encode(messy)), n)
+        )
+        assert ours == out.raw[:m].decode(), (case, messy)
+
+
+# ---------------------------------------------------------------------------
+# explode + merge composition vs our one-pass regrouping
+
+
+def test_group_paf_matches_explode_merge(ref, tmp_path):
+    """Our one-pass group_paf_by_query == the reference's explode+merge
+    composition, on inputs satisfying the reference's implicit
+    invariant: every query appears in every chunk (>= 1 line), so each
+    exploded file's query groups follow reads-file order.
+
+    (Outside that invariant — a query skipping a chunk — the compiled
+    reference's merge silently DROPS the skipped query's later lines:
+    merge.cpp:49-55 only drains *leading* matches per header and never
+    revisits.  Our grouping is lossless there; found by this fuzz with
+    unconstrained chunks.)"""
+    rng = np.random.default_rng(6)
+    bins = ref._bins
+    for case in range(25):
+        reads = [f"r{i}" for i in range(int(rng.integers(2, 7)))]
+        # chunked PAF: queries reappear across chunks (minimap2 -I)
+        n_chunks = int(rng.integers(2, 4))
+        lines = []
+        for _ in range(n_chunks):
+            for q in reads:
+                for _ in range(int(rng.integers(1, 4))):
+                    lines.append(
+                        f"{q}\t100\t0\t50\t+\tt\t100\t0\t50\t"
+                        f"{int(rng.integers(1, 999))}\t100\t60"
+                    )
+        if not lines:
+            continue
+        raw = tmp_path / f"chunked{case}.paf"
+        raw.write_text("\n".join(lines) + "\n")
+        headers = tmp_path / f"headers{case}.txt"
+        # reads-file header order == first-appearance order here
+        seen = []
+        for ln in lines:
+            q = ln.split("\t")[0]
+            if q not in seen:
+                seen.append(q)
+        headers.write_text("".join(f">{q}\n" for q in seen))
+
+        exploded = tmp_path / f"exploded{case}"
+        subprocess.run([bins["explode"], str(raw), str(exploded)],
+                       check=True)
+        chunk_files = sorted(
+            tmp_path.glob(f"exploded{case}_*"),
+            key=lambda p: int(p.name.rsplit("_", 1)[1]),
+        )
+        merged = tmp_path / f"merged{case}.paf"
+        subprocess.run(
+            [bins["merge"], str(merged), str(headers)]
+            + [str(p) for p in chunk_files],
+            check=True,
+        )
+        ours = tmp_path / f"grouped{case}.paf"
+        paf_mod.group_paf_by_query(str(raw), str(ours))
+        assert ours.read_text() == merged.read_text(), case
+
+
+def test_reformat_matches_reference(ref, tmp_path):
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(200):
+        extra = "\ttp:A:S" if rng.integers(0, 2) else ""
+        lines.append(
+            f"q{i}\t{rng.integers(1,999)}\t1\t50\t"
+            f"{'-' if rng.integers(0,2) else '+'}\tt{i%7}\t200\t3\t60\t"
+            f"40\t55\t60{extra}"
+        )
+    src = tmp_path / "in.paf"
+    src.write_text("\n".join(lines) + "\n")
+    theirs = tmp_path / "ref.paf"
+    subprocess.run([ref._bins["reformatPAF"], str(src), str(theirs)],
+                   check=True)
+    ours = tmp_path / "ours.paf"
+    paf_mod.reformat_file(str(src), str(ours))
+    assert ours.read_text() == theirs.read_text()
