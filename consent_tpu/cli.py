@@ -36,6 +36,13 @@ from consent_tpu.pipeline import engine
 def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
     d_minsup = 3 if correct else 1
     d_maxsup = 150 if correct else 20000
+    from consent_tpu import __version__
+
+    p.add_argument(
+        "--version", "-v", action="version",
+        version=f"consent-tpu v{__version__} "
+                f"(reference parity: CONSENT v2.2.2)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--type", choices=["PB", "ONT"], default="PB")
     p.add_argument("--windowSize", "-l", type=int, default=500)
@@ -48,6 +55,9 @@ def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
     p.add_argument("--minAnchors", "-a", type=int, default=2)
     p.add_argument("--windowOverlap", "-o", type=int, default=50)
     p.add_argument("--nproc", "-j", type=int, default=os.cpu_count())
+    p.add_argument("--minimapIndex", "-m", default="1G",
+                   help="minimap2 -I index chunk size "
+                        "(reference: CONSENT-correct:24,185)")
     p.add_argument("--tmpdir", "-t", default=".")
     p.add_argument("--paf", help="precomputed query-grouped PAF")
     p.add_argument(
@@ -99,11 +109,12 @@ def _minimap2_args(kind: str, reads_type: str) -> list:
     return "--dual=yes -PD --no-long-join -w5 -g1000 -m30 -n1".split()
 
 
-def _run_minimap2(kind, reads_type, target, query, out_paf, nproc, tmpdir):
+def _run_minimap2(kind, reads_type, target, query, out_paf, nproc, tmpdir,
+                  index_size="1G"):
     cmd = (
         ["minimap2"]
         + _minimap2_args(kind, reads_type)
-        + ["-t", str(nproc), target, query]
+        + ["-t", str(nproc), "-I", str(index_size), target, query]
     )
     with open(out_paf, "w") as f:
         subprocess.run(cmd, stdout=f, check=True)
@@ -129,7 +140,8 @@ def _correct_pile_stream(args, index):
         )
         tmp.close()
         _run_minimap2("correct", args.type, args.infile, args.infile,
-                      tmp.name, args.nproc, args.tmpdir)
+                      tmp.name, args.nproc, args.tmpdir,
+                      index_size=args.minimapIndex)
         grouped = tmp.name + ".grouped"
         paf_mod.group_paf_by_query(tmp.name, grouped)
         os.unlink(tmp.name)
@@ -148,11 +160,22 @@ def main_correct(argv=None) -> int:
         description="TPU-native long-read self-correction",
     )
     p.add_argument("--in", dest="infile", required=True)
+    p.add_argument(
+        "--proof", "-p", default=None,
+        help="extra proof-read FASTA indexed alongside the input; "
+             "disables trimming (reference -p, "
+             "CONSENT-correction.cpp:70-73)",
+    )
     _common_flags(p, correct=True)
     args = p.parse_args(argv)
 
     cfg = _cfg_from_args(args, correct=True)
     index = ReadIndex.from_file(args.infile)
+    if args.proof:
+        import dataclasses as _dc
+
+        index.add_file(args.proof)
+        cfg = _dc.replace(cfg, trim=False)
     piles = _correct_pile_stream(args, index)
     n_in, n_out = _drive(piles, index, cfg, args, "consent-correct")
     print(f"[consent-correct] {n_out}/{n_in} reads corrected -> {args.out}",
@@ -164,83 +187,97 @@ CHUNK_PILES = 256
 
 
 def _drive(piles, index, cfg, args, label):
-    """Run the pipeline over a pile stream with optional chunk-level
-    resume, multi-host sharding, stage stats, and profiler tracing."""
+    """Run the pipeline over a pile stream.
+
+    One code path for every mode: multi-host sharding (explicit
+    --process-index/--process-count, or auto-detected from the
+    jax.distributed cluster env), chunk-level resume with a
+    config/input run-key guard, stage stats, and profiler tracing all
+    compose.  Multi-host shards stream — no materialization — and
+    their records carry pile-ordinal tags that consent-merge-shards
+    strips while restoring global order."""
+    import collections
+    import dataclasses as _dc
+
+    from consent_tpu.parallel import multihost
     from consent_tpu.utils.observe import GLOBAL_STATS, profiler_trace
 
+    proc_idx, proc_cnt = args.process_index, args.process_count
+    if proc_cnt is None:
+        proc_idx, proc_cnt = multihost.init_distributed()
+    proc_idx = int(proc_idx or 0)
+    proc_cnt = int(proc_cnt or 1)
+    multi = proc_cnt > 1
+
+    ordinals: collections.deque = collections.deque()
+    if multi:
+        def _shard(src):
+            for i, p in enumerate(src):
+                if i % proc_cnt == proc_idx:
+                    ordinals.append(i)
+                    yield p
+
+        stream = _shard(iter(piles))
+        out_path = multihost.shard_path(args.out, proc_idx)
+    else:
+        stream = iter(piles)
+        out_path = args.out
+
     n_in = n_out = 0
-    piles = iter(piles)
 
-    # multi-host: process this host's shard, write ordinal-tagged shard
-    # output, done (merge with consent-merge-shards / multihost.merge_shards)
-    if args.process_count and args.process_count > 1:
-        from consent_tpu.parallel import multihost
+    def results():
+        """Per input pile: (header, decoded seq), or None if dropped."""
+        nonlocal n_in, n_out
+        for name, codes, solid in engine.process_piles(
+            stream, index, cfg
+        ):
+            n_in += 1
+            ordinal = ordinals.popleft() if multi else None
+            if len(codes) == 0:
+                yield None
+                continue
+            n_out += 1
+            header = f"{name} #{ordinal}" if multi else name
+            yield header, seqs.decode(codes, solid)
 
-        idx = args.process_index or 0
-        tagged = []
-        my_ordinals = []
-        ordinals_piles = (
-            (i, p) for i, p in enumerate(piles)
-            if i % args.process_count == idx
-        )
-        ords, shard = [], []
-        for i, p in ordinals_piles:
-            ords.append(i)
-            shard.append(p)
-        k = 0
-        with open(multihost.shard_path(args.out, idx), "w") as out:
-            for name, codes, solid in engine.process_piles(
-                iter(shard), index, cfg
-            ):
-                n_in += 1
-                if len(codes):
-                    n_out += 1
-                    out.write(
-                        f">{name} #{ords[k]}\n{seqs.decode(codes, solid)}\n"
-                    )
-                k += 1
-        if args.stats:
-            GLOBAL_STATS.report()
-        return n_in, n_out
-
-    with profiler_trace(args.profile_dir):
+    with profiler_trace(args.profile_dir), GLOBAL_STATS.timer(
+        f"{label}.pipeline"
+    ):
         if args.resume:
             from consent_tpu.pipeline.checkpoint import ChunkStore
 
-            store = ChunkStore(args.out)
+            run_key = {
+                "config": _dc.asdict(cfg),
+                "label": label,
+                "process": [proc_idx, proc_cnt],
+                "in": getattr(args, "infile", None)
+                      or getattr(args, "contigs", None),
+                "paf": args.paf,
+            }
+            store = ChunkStore(out_path, run_key=run_key)
             skip = store.n_complete_prefix()
             for _ in range(skip * CHUNK_PILES):
-                if next(piles, None) is None:
+                if next(stream, None) is None:
                     break
+                if multi:
+                    ordinals.popleft()
             chunk_idx = skip
             records = []
-            with GLOBAL_STATS.timer(f"{label}.pipeline"):
-                for name, codes, solid in engine.process_piles(
-                    piles, index, cfg
-                ):
-                    n_in += 1
-                    if len(codes):
-                        n_out += 1
-                        records.append((name, seqs.decode(codes, solid)))
-                    if n_in % CHUNK_PILES == 0:
-                        store.write_chunk(chunk_idx, records)
-                        chunk_idx += 1
-                        records = []
-                if n_in % CHUNK_PILES != 0 or records:
+            for item in results():
+                if item is not None:
+                    records.append(item)
+                if n_in % CHUNK_PILES == 0:
                     store.write_chunk(chunk_idx, records)
-            store.assemble(args.out)
+                    chunk_idx += 1
+                    records = []
+            if n_in % CHUNK_PILES != 0 or records:
+                store.write_chunk(chunk_idx, records)
+            store.assemble(out_path)
         else:
-            with open(args.out, "w") as out, GLOBAL_STATS.timer(
-                f"{label}.pipeline"
-            ):
-                for name, codes, solid in engine.process_piles(
-                    piles, index, cfg
-                ):
-                    n_in += 1
-                    if len(codes) == 0:
-                        continue
-                    n_out += 1
-                    write_fasta_record(out, name, seqs.decode(codes, solid))
+            with open(out_path, "w") as out:
+                for item in results():
+                    if item is not None:
+                        write_fasta_record(out, *item)
     if args.stats:
         GLOBAL_STATS.report()
     return n_in, n_out
@@ -260,7 +297,8 @@ def _polish_pile_stream(args, contig_index, read_index):
         )
         raw.close()
         _run_minimap2("polish", args.type, args.contigs, args.reads,
-                      raw.name, args.nproc, args.tmpdir)
+                      raw.name, args.nproc, args.tmpdir,
+                      index_size=args.minimapIndex)
         srt = raw.name + ".sorted"
         ref = raw.name + ".reformatted"
         paf_mod.sort_by_target(raw.name, srt)

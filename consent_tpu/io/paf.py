@@ -19,6 +19,7 @@ side lists (object arrays) since they're only used for index lookups.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, TextIO
 
 import numpy as np
@@ -133,13 +134,35 @@ def reformat_file(src_path: str, dst_path: str) -> None:
                 dst.write(reformat_line(line) + "\n")
 
 
+def _external_sort(src_path: str, dst_path: str, keys: list,
+                   tmpdir: str | None = None) -> bool:
+    """Stable byte-collation sort via sort(1) — constant memory for
+    arbitrarily large PAFs (the reference shells out the same way,
+    CONSENT-polish:192).  Returns False if sort(1) is unavailable."""
+    import shutil
+    import subprocess
+
+    if shutil.which("sort") is None:
+        return False
+    env = dict(os.environ, LC_ALL="C")
+    cmd = ["sort", "--stable", "-t", "\t", *keys, src_path,
+           "-o", dst_path]
+    if tmpdir:
+        cmd[1:1] = ["-T", tmpdir]
+    subprocess.run(cmd, check=True, env=env)
+    return True
+
+
 def sort_by_target(src_path: str, dst_path: str) -> None:
     """Group a PAF by target name (column 6), stably — the polishing
     driver's `LC_COLLATE=C sort -k6,6` step (CONSENT-polish:192).
 
     Byte-wise (C-collation) comparison on the full 6th field only,
-    stable within equal keys, exactly like sort -k6,6 under LC_COLLATE=C.
+    stable within equal keys.  Shells out to sort(1) (constant memory,
+    external merge) with an in-RAM fallback.
     """
+    if _external_sort(src_path, dst_path, ["-k6,6"]):
+        return
     with open(src_path) as f:
         lines = [ln for ln in f if ln.strip()]
     lines.sort(key=lambda ln: ln.split("\t")[5].encode())
@@ -153,10 +176,38 @@ def group_paf_by_query(src_path: str, dst_path: str) -> None:
     query's lines — the explode+merge role for chunked-index PAFs
     (reference: src/explode.cpp + src/merge.cpp; the reference keys the
     output order on the reads-file header order, which coincides with
-    first-appearance order for minimap2 all-vs-all output)."""
+    first-appearance order for minimap2 all-vs-all output; unlike
+    merge, this grouping is lossless when a query skips a chunk —
+    see tests/test_reference_diff.py).
+
+    Streaming: pass 1 prefixes each line with its query's
+    first-appearance ordinal (only the name->ordinal map is held in
+    RAM — a few bytes per read, vs. the whole PAF before); an external
+    stable numeric sort(1) groups the lines; pass 2 strips the prefix.
+    Falls back to one in-RAM pass without sort(1).
+    """
+    ordinals: dict = {}
+    tagged = dst_path + ".tag"
+    with open(src_path) as src, open(tagged, "w") as out:
+        for line in src:
+            if not line.strip():
+                continue
+            q = line.split("\t", 1)[0]
+            o = ordinals.setdefault(q, len(ordinals))
+            out.write(f"{o}\t{line}")
+    tagged_sorted = dst_path + ".tagsorted"
+    if _external_sort(tagged, tagged_sorted, ["-k1,1n"]):
+        with open(tagged_sorted) as src, open(dst_path, "w") as out:
+            for line in src:
+                out.write(line.split("\t", 1)[1])
+        os.unlink(tagged_sorted)
+        os.unlink(tagged)
+        return
+    os.unlink(tagged)
+    # fallback: one in-RAM pass
     from collections import OrderedDict
 
-    groups: "OrderedDict[str, list[str]]" = OrderedDict()
+    groups: "OrderedDict[str, list]" = OrderedDict()
     with open(src_path) as f:
         for line in f:
             if not line.strip():

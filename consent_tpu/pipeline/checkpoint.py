@@ -17,11 +17,33 @@ from typing import Iterator, List, Tuple
 import numpy as np
 
 
+class ResumeMismatch(ValueError):
+    """The chunk store was produced under a different config/input."""
+
+
 class ChunkStore:
-    def __init__(self, out_path: str):
+    def __init__(self, out_path: str, run_key: dict | None = None):
+        """run_key identifies the run (config + input); resuming a
+        store written under a different key aborts loudly instead of
+        silently mixing outputs from different flags/inputs."""
         self.dir = out_path + ".chunks"
         self.manifest = os.path.join(self.dir, "MANIFEST.jsonl")
+        self.header_path = os.path.join(self.dir, "RUNKEY.json")
         os.makedirs(self.dir, exist_ok=True)
+        if run_key is not None:
+            key_str = json.dumps(run_key, sort_keys=True)
+            if os.path.exists(self.header_path):
+                old = open(self.header_path).read()
+                if old != key_str:
+                    raise ResumeMismatch(
+                        f"refusing to resume {self.dir}: it was written "
+                        f"under a different config/input.\n  stored: "
+                        f"{old}\n  current: {key_str}\nDelete the "
+                        f".chunks directory to start over."
+                    )
+            else:
+                with open(self.header_path, "w") as f:
+                    f.write(key_str)
         self._done = {}
         if os.path.exists(self.manifest):
             with open(self.manifest) as f:

@@ -143,3 +143,51 @@ def test_cli_multihost_shards_match_single(small_dataset, tmp_path):
         "--out", str(merged), "--process-count", "2",
     ])
     assert open(single).read() == open(merged).read()
+
+
+def test_cli_multihost_resume_stats(small_dataset, tmp_path, capsys):
+    """Multi-host shards are first-class: --resume and --stats compose
+    with sharding, and the merged output still matches single-host."""
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    single = tmp_path / "single.fasta"
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(single),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native",
+    ])
+    merged = tmp_path / "m.fasta"
+    for idx in (0, 1):
+        for _ in range(2):  # second pass resumes completed chunks
+            cli.main_correct([
+                "--in", str(reads_fa), "--out", str(merged),
+                "--windowSize", "200", "--windowOverlap", "20",
+                "--overlapper", "native", "--resume", "--stats",
+                "--process-index", str(idx), "--process-count", "2",
+            ])
+    cli.main_merge_shards(["--out", str(merged), "--process-count", "2"])
+    assert open(single).read() == open(merged).read()
+
+
+def test_cli_resume_config_mismatch_aborts(small_dataset, tmp_path):
+    from consent_tpu.pipeline.checkpoint import ResumeMismatch
+
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    out = tmp_path / "guard.fasta"
+    cli.main_correct([
+        "--in", str(reads_fa), "--out", str(out),
+        "--windowSize", "200", "--windowOverlap", "20",
+        "--overlapper", "native", "--resume",
+    ])
+    with pytest.raises(ResumeMismatch):
+        cli.main_correct([
+            "--in", str(reads_fa), "--out", str(out),
+            "--windowSize", "200", "--windowOverlap", "40",  # changed
+            "--overlapper", "native", "--resume",
+        ])
+
+
+def test_cli_version_flag(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.main_correct(["--version"])
+    assert e.value.code == 0
+    assert "consent-tpu" in capsys.readouterr().out
