@@ -60,6 +60,28 @@ def main():
     # consent_tpu/ops/pallas_align.py:_kernel_banded)
     scoring = Scoring(max_hgap=16, band=128)
 
+    # compiled-Pallas regression gate: the timed kernel must agree with
+    # the XLA fallback bit-for-bit (a Mosaic lowering bug fails the
+    # bench loudly instead of drifting the numbers; see
+    # tests/test_tpu_compiled.py for the pytest variant)
+    if jax.default_backend() == "tpu":
+        from consent_tpu.ops import align as align_ops
+        from consent_tpu.ops import pallas_align as pa
+
+        cq = jnp.asarray(frags[:2].reshape(2 * S, Lf).astype(np.int32))
+        cql = jnp.asarray(frag_len[:2].reshape(2 * S))
+        cr = jnp.asarray(np.repeat(tpl[:2], S, axis=0).astype(np.int32))
+        crl = jnp.asarray(np.full(2 * S, W, np.int32))
+        cd0 = jnp.zeros(2 * S, jnp.int32)
+        got = pa.pallas_banded_posterior_summary(cq, cql, cr, crl, cd0,
+                                                 scoring)
+        want = align_ops.posterior_summary(cq, cql, cr, crl, scoring,
+                                           d0=cd0)
+        for name in got._fields:
+            a, b = np.asarray(getattr(got, name)), np.asarray(
+                getattr(want, name))
+            assert np.array_equal(a, b), f"Pallas!=XLA on {name}"
+
     def chain(k, fr):
         out = None
         for _ in range(k):

@@ -54,11 +54,13 @@ class ConsentConfig:
     mismatch_score: int = -4
     gap_open: int = 4
     gap_extend: int = 2
-    # Consensus refinement rounds (realign fragments to round-1 consensus).
-    # 2 rounds lift mean identity measurably at CLR error rates (see
-    # tests/test_e2e.py accuracy gates); 1 trades that for ~2x window
-    # throughput.
-    consensus_rounds: int = 2
+    # Consensus refinement rounds (realign fragments to the previous
+    # round's consensus).  Measured tradeoff (simulated CLR, 12x/0.10
+    # error, scratch/rounds_ab.py): 1 round -> 0.9563 mean identity,
+    # 2 -> 0.9576, 3 -> 0.9575 — the second round buys +0.13pp for 2x
+    # the window-consensus cost and the third nothing, so the default
+    # is 1; raise it when accuracy matters more than throughput.
+    consensus_rounds: int = 1
     # Horizontal-gap cap for the consensus aligner (0 = exact); longer
     # template deletions route through mismatches and are repaired by
     # the DBG stage.  Shrinks the kernel's per-row scan.

@@ -33,6 +33,18 @@ from consent_tpu.ops.align import INS_PACK, NEG, PosteriorSummary, Scoring
 
 TILE_LANES = 128
 
+# DP-state element type.  Scores fit int16 by construction (NEG =
+# -2^14, max score ~1K; the XLA fallback in ops/align.py runs int16),
+# but Mosaic's vector rotate — which the per-row prefix-max scans and
+# diagonal shifts lower to — only supports 32-bit elements on this
+# toolchain ("not implemented: Rotate with non-32-bit data"), so the
+# on-chip DP state stays int32.  The hm score rows that round-trip
+# through HBM are staged as int16 (STAGE_DT): values fit by
+# construction and the cast halves the DMA bytes of the only O(Lq*W)
+# memory stream in the kernel.
+DP = jnp.int32
+STAGE_DT = jnp.int16
+
 
 def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
             opt_ref, matched_ref, ifirst_ref, ilast_ref,
@@ -44,7 +56,7 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     TILE_N = q_ref.shape[0]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, W), 1)
-    jcost = col * ext
+    jcost = (col * ext).astype(DP)
     rvec = r_ref[:]
     rmask = col < rlen_ref[:]          # [TILE_N, 1] -> broadcast
     qlen = qlen_ref[:]                 # [TILE_N, 1]
@@ -73,7 +85,7 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         qcol = qrot[:, 0:1]                        # [TILE_N, 1]
         valid = i < qlen                           # [TILE_N, 1]
         sub = jnp.where(qcol == rvec, match, mismatch)
-        return jnp.where(valid & rmask, sub, NEG), valid, qcol, qrot
+        return jnp.where(valid & rmask, sub, NEG).astype(DP), valid, qcol, qrot
 
     def hm_dma(i, slot):
         return pltpu.make_async_copy(
@@ -86,9 +98,9 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         )
 
     # ---------------- forward ----------------
-    h_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
-    f_ref[:] = jnp.full((TILE_N, W), NEG, jnp.int32)
-    optv_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
+    h_ref[:] = jnp.zeros((TILE_N, W), DP)
+    f_ref[:] = jnp.full((TILE_N, W), NEG, DP)
+    optv_ref[:] = jnp.zeros((TILE_N, W), DP)
 
     def fwd_body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -110,7 +122,7 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         h = jnp.maximum(ht, e)
         h_ref[:] = jnp.where(valid, h, h_prev)
         f_ref[:] = jnp.where(valid, f, f_prev)
-        row_buf[slot] = hm
+        row_buf[slot] = hm.astype(STAGE_DT)
         hm_dma(i, slot).start()
         optv_ref[:] = jnp.maximum(optv_ref[:], hm)
         return 0
@@ -120,14 +132,16 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
     hm_dma(Lq - 2, jax.lax.rem(Lq - 2, 2)).wait()
     hm_dma(Lq - 1, jax.lax.rem(Lq - 1, 2)).wait()
 
-    opt = jnp.max(optv_ref[:], axis=1, keepdims=True)   # [TILE_N, 1]
-    opt = jnp.maximum(opt, 0)
+    # Mosaic can't reduce int16 — widen for the row max only
+    opt = jnp.maximum(
+        jnp.max(optv_ref[:].astype(jnp.int32), axis=1, keepdims=True), 0
+    )                                                   # [TILE_N, 1] int32
     opt_ref[:] = opt
 
     # ---------------- backward + posterior ----------------
     # reuse h/f scratches as BH/BF
-    h_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
-    f_ref[:] = jnp.full((TILE_N, W), NEG, jnp.int32)
+    h_ref[:] = jnp.zeros((TILE_N, W), DP)
+    f_ref[:] = jnp.full((TILE_N, W), NEG, DP)
     matched_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     ifirst_ref[:] = jnp.full((TILE_N, W), Lq, jnp.int32)
     ilast_ref[:] = jnp.full((TILE_N, W), -1, jnp.int32)
@@ -142,7 +156,7 @@ def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
         i = Lq - 1 - t
         slot = jax.lax.rem(i, 2)
         hm_fetch(i, slot).wait()
-        hm_row = row_buf[slot]
+        hm_row = row_buf[slot].astype(DP)
         # prefetch the next (lower) row into the other slot
         @pl.when(i >= 1)
         def _():
@@ -203,17 +217,19 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
     The caller pre-gathers rhat[n, c] = r[n, c + d0[n]] so every lane's
     expected diagonal starts at kernel column 0; posterior outputs are
     in kernel columns and un-shifted by the caller.  rr/qrot are
-    rotating copies of rhat/q advanced by one static roll per row, so
-    slot 0 always reads the current row's base — no dynamic rolls in
-    the DP.  The posterior fold still updates full-width [TILE_N, W]
-    accumulators (one dynamic roll positions the band row)."""
+    rotating copies of rhat/q advanced by ONE static roll per UNROLL
+    rows; within the group, row u reads a static slice at offset u —
+    full-width data movement is amortized 8x (per-row rolls of the
+    [TILE_N, W] buffers dominated the kernel before this).  The
+    posterior fold still updates full-width [TILE_N, W] accumulators
+    (one dynamic roll per row positions the band row)."""
     match, mismatch = sc.match, sc.mismatch
     open_, ext = sc.gap_open, sc.gap_extend
     TILE_N = q_ref.shape[0]
     OFF = BW // 2
 
     cb = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, BW), 1)
-    jcost = cb * ext
+    jcost = (cb * ext).astype(DP)
     qlen = qlen_ref[:]                 # [TILE_N, 1]
     jlo = jlo_ref[:]
     jhi = jhi_ref[:]
@@ -235,13 +251,21 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
     kins = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, INS_PACK), 1)
     pack_w = (1 << (2 * kins))
 
-    def sub_row(i):
+    # group size: rows per full-width buffer roll.  Static slice
+    # offsets up to UNROLL-1 must fit the rr (W - BW slack) and qrot
+    # (insertion window) buffers.
+    UNROLL = (
+        8 if (Lq % 8 == 0 and W - BW >= 7 and Lq >= 8 + INS_PACK) else 1
+    )
+
+    def sub_row(i, p):
+        # p = static slot offset of row i in the group-aligned buffers
         chat = i + cb - OFF
         valid = (chat >= jlo) & (chat < jhi) & (i < qlen)
-        qcol = qrot_ref[:, 0:1]                    # q[i]
-        rband = rr_ref[:, 0:BW]                    # rhat[i + b - OFF]
+        qcol = qrot_ref[:, p : p + 1]              # q[i]
+        rband = rr_ref[:, p : p + BW]              # rhat[i + b - OFF]
         sub = jnp.where(qcol == rband, match, mismatch)
-        return jnp.where(valid, sub, NEG), qcol
+        return jnp.where(valid, sub, NEG).astype(DP), qcol
 
     def hm_dma(i, slot):
         return pltpu.make_async_copy(
@@ -254,20 +278,21 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
         )
 
     # ---------------- forward ----------------
-    h_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
-    f_ref[:] = jnp.full((TILE_N, BW), NEG, jnp.int32)
-    optv_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
-    # rr slot b reads rhat[(b - OFF + i) mod W]; advanced 1/row
+    h_ref[:] = jnp.zeros((TILE_N, BW), DP)
+    f_ref[:] = jnp.full((TILE_N, BW), NEG, DP)
+    optv_ref[:] = jnp.zeros((TILE_N, BW), DP)
+    # rr slot b reads rhat[(b - OFF + i0 + u) mod W] at offset u for
+    # the group's rows i0..i0+UNROLL-1; advanced UNROLL per group
     rr_ref[:] = pltpu.roll(rhat_ref[:], OFF, axis=1)
     qrot_ref[:] = q_ref[:]
 
-    def fwd_body(i, _):
+    def fwd_row(i, u):
         slot = jax.lax.rem(i, 2)
         @pl.when(i >= 2)
         def _():
             hm_dma(i - 2, slot).wait()
 
-        sub, _ = sub_row(i)
+        sub, _ = sub_row(i, u)
         h_prev = h_ref[:]
         f_prev = f_ref[:]
         hm = h_prev + sub                    # diagonal = same slot
@@ -281,48 +306,55 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
         valid_q = i < qlen
         h_ref[:] = jnp.where(valid_q, h, h_prev)
         f_ref[:] = jnp.where(valid_q, f, f_prev)
-        row_buf[slot] = hm
+        row_buf[slot] = hm.astype(STAGE_DT)
         hm_dma(i, slot).start()
         optv_ref[:] = jnp.maximum(optv_ref[:], hm)
-        rr_ref[:] = pltpu.roll(rr_ref[:], W - 1, axis=1)
-        qrot_ref[:] = pltpu.roll(qrot_ref[:], Lq - 1, axis=1)
+
+    def fwd_group(g, _):
+        i0 = g * UNROLL
+        for u in range(UNROLL):
+            fwd_row(i0 + u, u)
+        rr_ref[:] = pltpu.roll(rr_ref[:], W - UNROLL, axis=1)
+        qrot_ref[:] = pltpu.roll(qrot_ref[:], Lq - UNROLL, axis=1)
         return 0
 
-    jax.lax.fori_loop(0, Lq, fwd_body, 0)
+    jax.lax.fori_loop(0, Lq // UNROLL, fwd_group, 0)
     hm_dma(Lq - 2, jax.lax.rem(Lq - 2, 2)).wait()
     hm_dma(Lq - 1, jax.lax.rem(Lq - 1, 2)).wait()
 
-    opt = jnp.max(optv_ref[:], axis=1, keepdims=True)   # [TILE_N, 1]
-    opt = jnp.maximum(opt, 0)
+    # Mosaic can't reduce int16 — widen for the row max only
+    opt = jnp.maximum(
+        jnp.max(optv_ref[:].astype(jnp.int32), axis=1, keepdims=True), 0
+    )                                                   # [TILE_N, 1] int32
     opt_ref[:] = opt
 
     # ---------------- backward + posterior ----------------
-    h_ref[:] = jnp.zeros((TILE_N, BW), jnp.int32)
-    f_ref[:] = jnp.full((TILE_N, BW), NEG, jnp.int32)
+    h_ref[:] = jnp.zeros((TILE_N, BW), DP)
+    f_ref[:] = jnp.full((TILE_N, BW), NEG, DP)
     matched_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     ifirst_ref[:] = jnp.full((TILE_N, W), Lq, jnp.int32)
     ilast_ref[:] = jnp.full((TILE_N, W), -1, jnp.int32)
     base_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     inspack_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
     pos_opt = opt > 0
-    # re-align the rotating views to row Lq-1 (one lane ahead for the
-    # insertion window: qrot lane k reads q[(i + k) mod Lq])
-    rr_ref[:] = pltpu.roll(rhat_ref[:], (OFF - (Lq - 1)) % W, axis=1)
-    qrot_ref[:] = pltpu.roll(q_ref[:], (-(Lq - 1)) % Lq, axis=1)
+    # re-align the rotating views to the bwd group's LOWEST row
+    # (Lq - UNROLL): within a group, row i = i0 - u reads offset
+    # p = UNROLL-1-u; one +UNROLL roll advances to the next group
+    rr_ref[:] = pltpu.roll(rhat_ref[:], (OFF - (Lq - UNROLL)) % W, axis=1)
+    qrot_ref[:] = pltpu.roll(q_ref[:], (-(Lq - UNROLL)) % Lq, axis=1)
 
     hm_fetch(Lq - 1, jax.lax.rem(Lq - 1, 2)).start()
     zpad = jnp.zeros((TILE_N, W - BW), jnp.int32) if W > BW else None
 
-    def bwd_body(t, _):
-        i = Lq - 1 - t
+    def bwd_row(i, p):
         slot = jax.lax.rem(i, 2)
         hm_fetch(i, slot).wait()
-        hm_row = row_buf[slot]
+        hm_row = row_buf[slot].astype(DP)
         @pl.when(i >= 1)
         def _():
             hm_fetch(i - 1, 1 - slot).start()
 
-        sub, qcol = sub_row(i)
+        sub, qcol = sub_row(i, p)
         bh_next = h_ref[:]
         bf_next = f_ref[:]
         bh_diag = bh_next                    # (i+1, chat+1) = same slot
@@ -352,16 +384,23 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
         ifirst_ref[:] = jnp.where(opf, i, ifirst_ref[:])
         ilast_ref[:] = jnp.where(first_seen, i, ilast_ref[:])
         k_in_len = (i + 1 + kins) < qlen           # [TILE_N, INS_PACK]
-        qslice = jnp.where(k_in_len, qrot_ref[:, 1 : 1 + INS_PACK], 0)
+        qslice = jnp.where(
+            k_in_len, qrot_ref[:, p + 1 : p + 1 + INS_PACK], 0
+        )
         pack = jnp.sum(qslice * pack_w, axis=1, keepdims=True)
         base_ref[:] = jnp.where(first_seen, qcol, base_ref[:])
         inspack_ref[:] = jnp.where(first_seen, pack, inspack_ref[:])
         matched_ref[:] = jnp.where(opf, 1, matched_ref[:])
-        rr_ref[:] = pltpu.roll(rr_ref[:], 1, axis=1)
-        qrot_ref[:] = pltpu.roll(qrot_ref[:], 1, axis=1)
+
+    def bwd_group(g, _):
+        i0 = Lq - 1 - g * UNROLL
+        for u in range(UNROLL):
+            bwd_row(i0 - u, UNROLL - 1 - u)
+        rr_ref[:] = pltpu.roll(rr_ref[:], UNROLL, axis=1)
+        qrot_ref[:] = pltpu.roll(qrot_ref[:], UNROLL, axis=1)
         return 0
 
-    jax.lax.fori_loop(0, Lq, bwd_body, 0)
+    jax.lax.fori_loop(0, Lq // UNROLL, bwd_group, 0)
 
 
 @functools.partial(
@@ -454,16 +493,16 @@ def pallas_banded_posterior_summary(
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
-            jax.ShapeDtypeStruct((Lq, TILE_N, BW), jnp.int32),
+            jax.ShapeDtypeStruct((Lq, TILE_N, BW), STAGE_DT),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_N, W), jnp.int32),                 # rr
             pltpu.VMEM((TILE_N, Lq), jnp.int32),                # qrot
-            pltpu.VMEM((2, TILE_N, BW), jnp.int32),             # row buf
+            pltpu.VMEM((2, TILE_N, BW), STAGE_DT),              # row buf
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((TILE_N, BW), jnp.int32),                # h / bh
-            pltpu.VMEM((TILE_N, BW), jnp.int32),                # f / bf
-            pltpu.VMEM((TILE_N, BW), jnp.int32),                # optv
+            pltpu.VMEM((TILE_N, BW), DP),                       # h / bh
+            pltpu.VMEM((TILE_N, BW), DP),                       # f / bf
+            pltpu.VMEM((TILE_N, BW), DP),                       # optv
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
@@ -559,14 +598,14 @@ def pallas_posterior_summary(
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
             jax.ShapeDtypeStruct((Np, W), jnp.int32),
-            jax.ShapeDtypeStruct((Lq, TILE_N, W), jnp.int32),
+            jax.ShapeDtypeStruct((Lq, TILE_N, W), STAGE_DT),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_N, W), jnp.int32),              # row buf
+            pltpu.VMEM((2, TILE_N, W), STAGE_DT),               # row buf
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # h / bh
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # f / bf
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # optv
+            pltpu.VMEM((TILE_N, W), DP),                        # h / bh
+            pltpu.VMEM((TILE_N, W), DP),                        # f / bf
+            pltpu.VMEM((TILE_N, W), DP),                        # optv
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
