@@ -64,10 +64,9 @@ def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
         "--overlapper", choices=["auto", "native", "minimap2"],
         default="auto",
     )
-    p.add_argument("--consensus-rounds", type=int, default=1,
-                   help="realign-vote refinement rounds; 2 buys "
-                        "+0.13pp mean identity for 2x window-consensus "
-                        "cost (measured tradeoff in config.py)")
+    p.add_argument("--consensus-rounds", type=int, default=2,
+                   help="realign-vote refinement rounds (measured "
+                        "accuracy/throughput tradeoff in config.py)")
     p.add_argument(
         "--resume", action="store_true",
         help="chunk-level checkpoint/resume under <out>.chunks/",

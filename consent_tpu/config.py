@@ -46,7 +46,9 @@ class ConsentConfig:
     frag_slack: int = 140
     # Max alignment lanes (windows x fragment slots) per device
     # consensus call, per device — the device batch geometry knob.
-    device_lanes: int = 1024
+    # Large calls amortize per-call dispatch/fetch latency (each window
+    # round-trips its packed votes to the host exactly once).
+    device_lanes: int = 4096
     # Alignment scoring (stitch mirrors the reference's SSW defaults:
     # match=2, mismatch=-2, gap_open=3, gap_extend=1; reference:
     # correctionAlignment.cpp:48 StripedSmithWaterman::Aligner()).
@@ -55,12 +57,12 @@ class ConsentConfig:
     gap_open: int = 4
     gap_extend: int = 2
     # Consensus refinement rounds (realign fragments to the previous
-    # round's consensus).  Measured tradeoff (simulated CLR, 12x/0.10
-    # error, scratch/rounds_ab.py): 1 round -> 0.9563 mean identity,
-    # 2 -> 0.9576, 3 -> 0.9575 — the second round buys +0.13pp for 2x
-    # the window-consensus cost and the third nothing, so the default
-    # is 1; raise it when accuracy matters more than throughput.
-    consensus_rounds: int = 1
+    # round's consensus).  With the run-conservation indel votes the
+    # second round compounds: window-level identity on simulated CLR
+    # (S=12, 10% error) measures 0.9806 (1 round) -> 0.9933 (2) ->
+    # 0.9931 (3), so the default is 2; drop to 1 for ~2x window
+    # throughput at ~1.3pp identity cost.
+    consensus_rounds: int = 2
     # Horizontal-gap cap for the consensus aligner (0 = exact); longer
     # template deletions route through mismatches and are repaired by
     # the DBG stage.  Shrinks the kernel's per-row scan.

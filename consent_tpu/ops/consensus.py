@@ -70,6 +70,26 @@ class WindowVotes(NamedTuple):
     suf_base: jnp.ndarray   # [B, INS_CAP] int8 (offset 0 = adjacent to last col)
 
 
+def _propagate_forward(vals: jnp.ndarray, is_start: jnp.ndarray,
+                       sentinel: int) -> jnp.ndarray:
+    """Per row: broadcast vals at segment-start columns rightward
+    across each segment.  vals must never equal `sentinel`."""
+    x = jnp.where(is_start, vals, sentinel)
+
+    def op(a, b):
+        return jnp.where(b == sentinel, a, b)
+
+    return jax.lax.associative_scan(op, x, axis=-1)
+
+
+def _propagate_backward(vals: jnp.ndarray, is_end: jnp.ndarray,
+                        sentinel: int) -> jnp.ndarray:
+    """Per row: broadcast vals at segment-end columns leftward."""
+    return _propagate_forward(
+        vals[..., ::-1], is_end[..., ::-1], sentinel
+    )[..., ::-1]
+
+
 def _nearest_valid_right(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Per row, at each j: vals at the nearest valid column strictly to
     the right (-1 if none).  vals/valid: [..., W]."""
@@ -181,6 +201,95 @@ def consensus_votes(
     ins_votes = red(ins_onehot.astype(jnp.int32))        # [B, W, K, 4]
     ins_base = jnp.argmax(ins_votes, axis=3).astype(jnp.int8)
 
+    # ---- equal-base-run conservation votes ----
+    # Inside a run of equal template bases every column is matched on
+    # SOME optimal path, so the union-of-paths posterior never exposes
+    # an indel there (the per-column and boundary votes above see
+    # nothing) — exactly where CLR indels concentrate.  Base-count
+    # conservation does expose them: an anchored fragment consumes
+    # i_last[run_end] - i_first[run_begin] + 1 query bases across the
+    # run; deficit vs the run length votes deletions of run columns,
+    # surplus votes insertions of the run base, majority-aggregated
+    # per unit like the boundary insertions.
+    tpl32 = tpl.astype(jnp.int32)
+    colw = jnp.broadcast_to(rj, (B, W))
+    valid_col = colw < tpl_len[:, None]
+    prev_tpl = jnp.pad(tpl32[:, :-1], ((0, 0), (1, 0)),
+                       constant_values=-1)
+    is_start_w = (
+        (colw == 0) | (tpl32 != prev_tpl) | ~valid_col
+        | (colw == tpl_len[:, None])
+    )
+    is_end_w = jnp.concatenate(
+        [is_start_w[:, 1:], jnp.ones((B, 1), bool)], axis=1
+    )
+    SENT = -(1 << 20)
+    rbeg = _propagate_forward(colw, is_start_w, SENT)
+    rend = _propagate_backward(colw, is_end_w, SENT)
+    run_len = rend - rbeg + 1
+
+    def rep(x):
+        return jnp.repeat(x, S, axis=0)
+
+    is_start = rep(is_start_w)
+    is_end = rep(is_end_w)
+    fb = _propagate_forward(i_first, is_start, SENT)   # i_first[rbeg]
+    le = _propagate_backward(i_last, is_end, SENT)     # i_last[rend]
+    m_beg = _propagate_forward(matched.astype(jnp.int32), is_start, SENT)
+    m_end = _propagate_backward(matched.astype(jnp.int32), is_end, SENT)
+    anchored = (m_beg == 1) & (m_end == 1)
+    consumed = le - fb + 1
+    deficit = jnp.where(anchored, rep(run_len) - consumed, 0)
+    # every valid run participates: deficits are impossible at
+    # run_len == 1 (consumed >= 1), but single-column surpluses are
+    # real (a deleted base whose context is unique still blurs into
+    # i_first < i_last at that column)
+    at_end = rep(is_end_w & valid_col)
+    anch_end = anchored & at_end
+
+    kk2 = jnp.arange(INS_CAP)[None, None, :]
+    n_anch = red(anch_end.astype(jnp.int32))             # [B, W]
+    del_more = red(
+        ((deficit[:, :, None] > kk2) & anch_end[:, :, None]).astype(
+            jnp.int32
+        )
+    )
+    del_run = jnp.cumprod(
+        (del_more > n_anch[:, :, None] - del_more).astype(jnp.int32),
+        axis=2,
+    ).sum(axis=2)
+    sur = jnp.where(anchored, -deficit, 0)
+    ins_more = red(
+        ((sur[:, :, None] > kk2) & anch_end[:, :, None]).astype(
+            jnp.int32
+        )
+    )
+    ins_run = jnp.cumprod(
+        (ins_more > n_anch[:, :, None] - ins_more).astype(jnp.int32),
+        axis=2,
+    ).sum(axis=2)
+    gate = (n_anch < min_column_support) | keep_tpl
+    del_run = jnp.where(gate, 0, jnp.minimum(del_run, run_len - 1))
+    ins_run = jnp.where(gate, 0, ins_run)
+
+    # apply: delete the last del_run columns of each run ...
+    del_back = _propagate_backward(del_run, is_end_w, SENT)
+    col_del = col_del | ((rend - colw) < del_back)
+    # ... and splice ins_run copies of the run base before the
+    # existing insertion at the run's end column
+    kk3 = jnp.arange(INS_CAP)[None, None, :]
+    src = kk3 - ins_run[:, :, None]
+    shifted = jnp.take_along_axis(
+        ins_base.astype(jnp.int32), jnp.clip(src, 0, INS_CAP - 1),
+        axis=2,
+    )
+    ins_base = jnp.where(
+        kk3 < ins_run[:, :, None],
+        tpl32[:, :, None],
+        jnp.where(src < INS_CAP, shifted, 0),
+    ).astype(jnp.int8)
+    ins_len = jnp.clip(ins_len + ins_run, 0, INS_CAP)
+
     # ---- window-edge insertions ----
     # Fragments matched at template column 0 vote their unmatched leading
     # bases as an insertion before the window; symmetric for the last
@@ -224,6 +333,227 @@ def consensus_votes(
     )
 
 
+class PackedVotes(NamedTuple):
+    """Transfer-optimized consensus description (~4x fewer bytes than
+    WindowVotes): insertion bases 2-bit packed, per-column fields in
+    the narrowest dtype, coverage diagnostics dropped.  The device->
+    host fetch is the pipeline's dominant byte stream (each window
+    fetches its votes exactly once), so this is sized for the wire;
+    assemble_consensus_batch unpacks on the host."""
+
+    col_base: jnp.ndarray   # [B, W] int8
+    col_del: jnp.ndarray    # [B, W] int8 (0/1)
+    ins_len: jnp.ndarray    # [B, W] uint8 (<= INS_CAP)
+    ins_pack: jnp.ndarray   # [B, W] int32: 2 bits per inserted base
+    pre_len: jnp.ndarray    # [B] int32
+    pre_pack: jnp.ndarray   # [B] int32
+    suf_len: jnp.ndarray    # [B] int32
+    suf_pack: jnp.ndarray   # [B] int32
+
+
+def pack_votes(v: WindowVotes) -> PackedVotes:
+    kk = jnp.arange(INS_CAP, dtype=jnp.int32)
+
+    def pack2(b):  # [..., K] base codes -> [...] int32, LSB first
+        return jnp.sum(
+            (b.astype(jnp.int32) & 3) << (2 * kk), axis=-1
+        ).astype(jnp.int32)
+
+    return PackedVotes(
+        col_base=v.col_base.astype(jnp.int8),
+        col_del=v.col_del.astype(jnp.int8),
+        ins_len=v.ins_len.astype(jnp.uint8),
+        ins_pack=pack2(v.ins_base),
+        pre_len=v.pre_len.astype(jnp.int32),
+        pre_pack=pack2(v.pre_base),
+        suf_len=v.suf_len.astype(jnp.int32),
+        suf_pack=pack2(v.suf_base),
+    )
+
+
+def unpack_votes_host(p: PackedVotes) -> WindowVotes:
+    """Host-side inverse of pack_votes (numpy); coverage/n_matched are
+    not reconstructed (diagnostics only, absent from the wire)."""
+    kk = 2 * np.arange(INS_CAP, dtype=np.int32)
+
+    def unpack2(x):
+        return ((np.asarray(x)[..., None] >> kk) & 3).astype(np.int8)
+
+    z = None
+    return WindowVotes(
+        col_base=np.asarray(p.col_base).astype(np.int8),
+        col_del=np.asarray(p.col_del).astype(bool),
+        ins_len=np.asarray(p.ins_len).astype(np.int32),
+        ins_base=unpack2(p.ins_pack),
+        coverage=z,
+        n_matched=z,
+        pre_len=np.asarray(p.pre_len),
+        pre_base=unpack2(p.pre_pack),
+        suf_len=np.asarray(p.suf_len),
+        suf_base=unpack2(p.suf_pack),
+    )
+
+
+def pack_bases_host(codes: np.ndarray) -> np.ndarray:
+    """Host: 2-bit pack base codes along the last axis (4 bases/byte,
+    LSB first).  Length must be a multiple of 4 (engine lengths are
+    multiples of 128).  Quarters the host->device fragment upload."""
+    x = codes.reshape(*codes.shape[:-1], -1, 4).astype(np.uint8)
+    return (
+        x[..., 0] | (x[..., 1] << 2) | (x[..., 2] << 4) | (x[..., 3] << 6)
+    )
+
+
+def unpack_bases(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Device inverse of pack_bases_host: [..., L//4] -> [..., L]."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    x = (packed[..., None] >> shifts) & 3
+    return x.reshape(*packed.shape[:-1], L)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "min_column_support", "scoring", "axis_name", "frags_packed"
+    ),
+)
+def consensus_votes_packed(
+    frags, frag_len, tpl, tpl_len, *, S, min_column_support=2,
+    scoring=align_ops.Scoring(), frag_d0=None, axis_name=None,
+    frags_packed: bool = False,
+) -> PackedVotes:
+    """Wire-format consensus step: 2-bit-packed fragment upload
+    (frags_packed=True) and packed vote download — the per-window
+    transfer drops from ~27 KB to ~6 KB round trip."""
+    if frags_packed:
+        frags = unpack_bases(frags, frags.shape[-1] * 4)
+    return pack_votes(
+        consensus_votes(
+            frags, frag_len, tpl, tpl_len, S=S,
+            min_column_support=min_column_support, scoring=scoring,
+            frag_d0=frag_d0, axis_name=axis_name,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-buffer wire format: ONE uint8 upload and ONE uint8 download
+# per consensus call.  Per-array transfers each pay a fixed dispatch
+# round trip (the host<->device link is latency-bound at production
+# batch sizes), so all five inputs are concatenated into one row-major
+# byte buffer and all eight packed-vote outputs into another.
+
+
+def wire_encode_inputs(frags_packed, frag_len, tpl, tpl_len, frag_d0):
+    """Host: [B, S*P | 4S | Lt | 4 | 4S] uint8 rows (little-endian
+    int32 fields via numpy views)."""
+    B, S, Pb = frags_packed.shape
+    def b4(x):
+        return np.ascontiguousarray(x.astype(np.int32)).view(np.uint8)
+
+    return np.concatenate(
+        [
+            frags_packed.reshape(B, S * Pb),
+            b4(frag_len).reshape(B, 4 * S),
+            np.ascontiguousarray(tpl, dtype=np.uint8),
+            b4(tpl_len[:, None]).reshape(B, 4),
+            b4(frag_d0).reshape(B, 4 * S),
+        ],
+        axis=1,
+    )
+
+
+def _bitcast32(u8):
+    """uint8[..., 4k] -> int32[..., k] (little-endian)."""
+    return jax.lax.bitcast_convert_type(
+        u8.reshape(*u8.shape[:-1], -1, 4), jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "Pb", "Lt", "min_column_support", "scoring",
+                     "axis_name"),
+)
+def consensus_votes_wire(
+    buf: jnp.ndarray,  # [B, S*Pb + 4S + Lt + 4 + 4S] uint8
+    *,
+    S: int,
+    Pb: int,           # packed fragment bytes (Lf // 4)
+    Lt: int,
+    min_column_support: int = 2,
+    scoring: align_ops.Scoring = align_ops.Scoring(),
+    axis_name: str | None = None,
+) -> jnp.ndarray:      # [B, 7*Lt + 16] uint8
+    B = buf.shape[0]
+    o = 0
+    frags = unpack_bases(buf[:, : S * Pb].reshape(B, S, Pb), Pb * 4)
+    o += S * Pb
+    frag_len = _bitcast32(buf[:, o : o + 4 * S])
+    o += 4 * S
+    tpl = buf[:, o : o + Lt]
+    o += Lt
+    tpl_len = _bitcast32(buf[:, o : o + 4])[:, 0]
+    o += 4
+    frag_d0 = _bitcast32(buf[:, o : o + 4 * S])
+
+    v = pack_votes(
+        consensus_votes(
+            frags, frag_len, tpl, tpl_len, S=S,
+            min_column_support=min_column_support, scoring=scoring,
+            frag_d0=frag_d0 if scoring.band else None,
+            axis_name=axis_name,
+        )
+    )
+
+    def u8_32(x):  # int32[...] -> uint8[..., flattened bytes]
+        y = jax.lax.bitcast_convert_type(x, jnp.uint8)
+        return y.reshape(B, -1)
+
+    return jnp.concatenate(
+        [
+            v.col_base.astype(jnp.uint8),
+            v.col_del.astype(jnp.uint8),
+            v.ins_len.astype(jnp.uint8),
+            u8_32(v.ins_pack),
+            u8_32(v.pre_len[:, None]),
+            u8_32(v.pre_pack[:, None]),
+            u8_32(v.suf_len[:, None]),
+            u8_32(v.suf_pack[:, None]),
+        ],
+        axis=1,
+    )
+
+
+def wire_decode_votes(arr: np.ndarray, W: int) -> PackedVotes:
+    """Host inverse of consensus_votes_wire's output layout."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = arr[:, o : o + n]
+        o += n
+        return out
+
+    def i32(u8):
+        return np.ascontiguousarray(u8).view(np.int32)
+
+    col_base = take(W).astype(np.int8)
+    col_del = take(W).astype(np.int8)
+    ins_len = take(W)
+    ins_pack = i32(take(4 * W))
+    pre_len = i32(take(4))[:, 0]
+    pre_pack = i32(take(4))[:, 0]
+    suf_len = i32(take(4))[:, 0]
+    suf_pack = i32(take(4))[:, 0]
+    return PackedVotes(
+        col_base=col_base, col_del=col_del, ins_len=ins_len,
+        ins_pack=ins_pack, pre_len=pre_len, pre_pack=pre_pack,
+        suf_len=suf_len, suf_pack=suf_pack,
+    )
+
+
 def _edge_majority(valid, cnt, codes, ok, B, S, axis_name=None):
     """Majority insertion vote at a window edge.
 
@@ -248,11 +578,14 @@ def _edge_majority(valid, cnt, codes, ok, B, S, axis_name=None):
     return length, base
 
 
-def assemble_consensus_batch(votes: WindowVotes, w_lens) -> list:
+def assemble_consensus_batch(votes, w_lens) -> list:
     """Host: flatten each window's vote arrays into a consensus code
     array (uint8).  Layout: prefix insertion (outermost offset first),
     then per column j: base (unless deleted) followed by the insertion
-    after j, then the suffix insertion."""
+    after j, then the suffix insertion.  Accepts WindowVotes or the
+    wire-format PackedVotes."""
+    if isinstance(votes, PackedVotes):
+        votes = unpack_votes_host(votes)
     col_base = np.asarray(votes.col_base)
     col_del = np.asarray(votes.col_del)
     ins_len = np.asarray(votes.ins_len)

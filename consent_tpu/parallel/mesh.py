@@ -73,6 +73,8 @@ def sharded_votes_fn(
     min_column_support: int,
     scoring: align_ops.Scoring,
     with_d0: bool,
+    packed: bool = False,
+    frags_packed: bool = False,
 ):
     """jit(shard_map(consensus_votes)) over the mesh.
 
@@ -88,7 +90,9 @@ def sharded_votes_fn(
     axis_name = "frag" if nf > 1 else None
 
     def body(frags, frag_len, tpl, tpl_len, frag_d0=None):
-        return cons_ops.consensus_votes(
+        if frags_packed:
+            frags = cons_ops.unpack_bases(frags, frags.shape[-1] * 4)
+        v = cons_ops.consensus_votes(
             frags, frag_len, tpl, tpl_len,
             S=S_local,
             min_column_support=min_column_support,
@@ -96,6 +100,7 @@ def sharded_votes_fn(
             frag_d0=frag_d0,
             axis_name=axis_name,
         )
+        return cons_ops.pack_votes(v) if packed else v
 
     in_specs = [
         P("data", frag, None),   # frags
@@ -105,18 +110,30 @@ def sharded_votes_fn(
     ]
     if with_d0:
         in_specs.append(P("data", frag))
-    out_specs = cons_ops.WindowVotes(
-        col_base=P("data", None),
-        col_del=P("data", None),
-        ins_len=P("data", None),
-        ins_base=P("data", None, None),
-        coverage=P("data", None),
-        n_matched=P("data", None),
-        pre_len=P("data"),
-        pre_base=P("data", None),
-        suf_len=P("data"),
-        suf_base=P("data", None),
-    )
+    if packed:
+        out_specs = cons_ops.PackedVotes(
+            col_base=P("data", None),
+            col_del=P("data", None),
+            ins_len=P("data", None),
+            ins_pack=P("data", None),
+            pre_len=P("data"),
+            pre_pack=P("data"),
+            suf_len=P("data"),
+            suf_pack=P("data"),
+        )
+    else:
+        out_specs = cons_ops.WindowVotes(
+            col_base=P("data", None),
+            col_del=P("data", None),
+            ins_len=P("data", None),
+            ins_base=P("data", None, None),
+            coverage=P("data", None),
+            n_matched=P("data", None),
+            pre_len=P("data"),
+            pre_base=P("data", None),
+            suf_len=P("data"),
+            suf_base=P("data", None),
+        )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -125,6 +142,30 @@ def sharded_votes_fn(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring):
+    def body(buf):
+        return cons_ops.consensus_votes_wire(
+            buf, S=S, Pb=Pb, Lt=Lt,
+            min_column_support=min_column_support, scoring=scoring,
+        )
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("data", None),),
+        out_specs=P("data", None), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_wire_step(mesh, buf, *, S, Pb, Lt, min_column_support,
+                      scoring):
+    """Wire-format consensus step sharded over the `data` mesh axis
+    (the engine's production path: one upload + one download buffer
+    per call, split over all local devices)."""
+    fn = _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring)
+    return fn(jax.device_put(buf, NamedSharding(mesh, P("data", None))))
 
 
 def sharded_consensus_step(
@@ -138,14 +179,17 @@ def sharded_consensus_step(
     min_column_support: int = 2,
     scoring: align_ops.Scoring = align_ops.Scoring(),
     frag_d0=None,
-) -> cons_ops.WindowVotes:
+    packed: bool = False,
+    frags_packed: bool = False,
+):
     """One device-parallel consensus step: window batch split over
     `data`, fragment slots over `frag` (vote reductions become
     all-reduces over `frag`).  Inputs are host or device arrays with
     leading dim B divisible by the data-axis size (and S by the frag
-    size)."""
+    size).  packed=True returns the wire-format PackedVotes."""
     fn = sharded_votes_fn(
-        mesh, S, min_column_support, scoring, frag_d0 is not None
+        mesh, S, min_column_support, scoring, frag_d0 is not None,
+        packed, frags_packed,
     )
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     frag = "frag" if axes.get("frag", 1) > 1 else None

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from consent_tpu.ops import align as align_ops
 from consent_tpu.pipeline.stitch import STITCH_SCORING, AlignSpan
 
-MAX_LANES_PER_CALL = 256
+MAX_LANES_PER_CALL = 1024
 
 _SCORING = align_ops.Scoring(
     match=STITCH_SCORING["match"],

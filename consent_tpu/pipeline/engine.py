@@ -38,6 +38,9 @@ from consent_tpu.pipeline import stitch as stitch_mod
 from consent_tpu.utils.observe import GLOBAL_STATS as STATS
 
 S_BUCKETS = (4, 8, 16, 32, 64, 152)
+MAX_B = 256     # windows per device call cap: beyond this, per-call
+                # latency is amortized but compile time of the big
+                # executables grows faster than the throughput gain
 
 
 @dataclasses.dataclass
@@ -97,7 +100,13 @@ class ConsensusEngine:
         return (x + 127) // 128 * 128
 
     def run(self, tasks: Sequence[WindowTask]) -> None:
-        """Compute consensus + counts + DBG polish for every task."""
+        """Compute consensus + counts + DBG polish for every task.
+
+        Every round of every bucket batch is dispatched asynchronously
+        (the device call returns immediately), so device compute
+        overlaps across batches and each batch pays exactly one host
+        round trip per round for its packed votes.  Refinement rounds
+        realign the fragments to the previous round's consensus."""
         buckets: Dict[int, List[WindowTask]] = {}
         for t in tasks:
             n = min(len(t.frags), self.cfg.max_msa + 1)
@@ -110,28 +119,68 @@ class ConsensusEngine:
             b = _bucket_for(n, self.s_cap)
             buckets.setdefault(b, []).append(t)
 
+        jobs: List[Tuple[List[WindowTask], int]] = []
         for S, ts in buckets.items():
-            max_b = max(1, self.max_lanes // S)
+            max_b = self._max_b(S)
             for lo in range(0, len(ts), max_b):
-                self._run_batch(ts[lo : lo + max_b], S)
+                jobs.append((ts[lo : lo + max_b], S))
 
-    def _run_batch(self, ts: List[WindowTask], S: int) -> None:
-        cfg = self.cfg
-        B = len(ts)
-        with STATS.timer("consensus.build_batch", B):
-            frags, frag_len, frag_d0, tpl, tpl_len = self._build_arrays(
-                ts, S
+        rounds = max(1, self.cfg.consensus_rounds)
+        pending = []
+        for sub, S in jobs:
+            with STATS.timer("consensus.build_batch", len(sub)):
+                arrays = self._build_arrays(sub, S)
+            frags, frag_len, frag_d0, tpl, tpl_len = arrays
+            dev = self._dispatch(S, frags, frag_len, frag_d0, tpl,
+                                 tpl_len)
+            pending.append(
+                [sub, S, frags, frag_len, frag_d0, tpl_len, dev]
             )
-        self._consensus_rounds(
-            ts, S, frags, frag_len, frag_d0, tpl, tpl_len
-        )
+        for r in range(rounds):
+            last = r == rounds - 1
+            nxt = []
+            for sub, S, frags, frag_len, frag_d0, tpl_len, dev in pending:
+                with STATS.timer("consensus.device_votes", len(sub)):
+                    votes = self._fetch_votes(dev)
+                with STATS.timer("consensus.assemble", len(sub)):
+                    cons_list = cons_ops.assemble_consensus_batch(
+                        votes, tpl_len.tolist()
+                    )
+                if last:
+                    self._host_post(sub, S, cons_list)
+                    continue
+                # next round: consensus becomes the template
+                B = frags.shape[0]
+                new_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
+                new_tlen = np.zeros(B, dtype=np.int32)
+                for b, c in enumerate(cons_list):
+                    L = min(len(c), self.Lt)
+                    new_tpl[b, :L] = c[:L]
+                    new_tlen[b] = L
+                dev2 = self._dispatch(S, frags, frag_len, frag_d0,
+                                      new_tpl, new_tlen)
+                nxt.append(
+                    [sub, S, frags, frag_len, frag_d0, new_tlen, dev2]
+                )
+            pending = nxt
 
-    def _pad_b(self, n: int) -> int:
-        """Window-batch sizes come from a tiny fixed set (n_devices x
-        powers of two) so every (B, S) shape hits a cached executable —
-        ragged tails otherwise trigger minutes-long tunnel compiles —
-        and every device gets an equal shard."""
+    def _max_b(self, S: int) -> int:
+        """Windows per device call for bucket S (multiple of
+        n_devices so shard_map gets equal shards)."""
         d = self.n_devices
+        return max(d, min(self.max_lanes // S, MAX_B) // d * d)
+
+    def _pad_b(self, n: int, max_b: int) -> int:
+        """Window-batch sizes come from a tiny fixed set so every
+        (B, S) shape hits a cached executable — ragged shapes otherwise
+        trigger minutes-long compiles — and every device gets an equal
+        shard.  Production batches (>= 32 windows) all pad to max_b:
+        ONE executable per fragment bucket on the hot path, tail
+        batches included (the padding compute is orders of magnitude
+        cheaper than compiling another shape)."""
+        d = self.n_devices
+        if n >= min(32, max_b):
+            return max_b
         b = 1
         while d * b < n:
             b *= 2
@@ -139,7 +188,7 @@ class ConsensusEngine:
 
     def _build_arrays(self, ts, S):
         cfg = self.cfg
-        B = self._pad_b(len(ts))
+        B = self._pad_b(len(ts), self._max_b(S))
         frags = np.zeros((B, S, self.Lf), dtype=np.uint8)
         frag_len = np.zeros((B, S), dtype=np.int32)
         frag_d0 = np.zeros((B, S), dtype=np.int32)
@@ -157,123 +206,111 @@ class ConsensusEngine:
             tp = t.frags[0]
             tpl[b, : len(tp)] = tp
             tpl_len[b] = len(tp)
-        return frags, frag_len, frag_d0, tpl, tpl_len
+        # fragments travel 2-bit packed (4x fewer upload bytes); the
+        # device unpacks before the kernel (cons_ops.unpack_bases)
+        return (cons_ops.pack_bases_host(frags), frag_len, frag_d0,
+                tpl, tpl_len)
 
-    def _consensus_rounds(self, ts, S, frags, frag_len, frag_d0, tpl,
-                          tpl_len):
+    def _dispatch(self, S, frags, frag_len, frag_d0, tpl, tpl_len):
+        """Asynchronously dispatch one wire-format consensus step
+        (one upload buffer in, one download buffer out); fetch the
+        returned device array with _fetch_votes when needed."""
         cfg = self.cfg
-        B = frags.shape[0]          # padded batch size (fixed shape set)
-        use_d0 = bool(self.scoring.band)
+        buf = cons_ops.wire_encode_inputs(
+            frags, frag_len, tpl, tpl_len, frag_d0
+        )
+        Pb = frags.shape[-1]
         if self.mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
             from consent_tpu.parallel import mesh as mesh_mod
 
-            put = mesh_mod.put_batch(
-                self.mesh,
-                (frags, frag_len) + ((frag_d0,) if use_d0 else ()),
-                (P("data", None, None), P("data", None))
-                + ((P("data", None),) if use_d0 else ()),
+            return mesh_mod.sharded_wire_step(
+                self.mesh, buf, S=S, Pb=Pb, Lt=self.Lt,
+                min_column_support=cfg.min_column_support,
+                scoring=self.scoring,
             )
-            frags_d, flen_d = put[0], put[1]
-            fd0_d = put[2] if use_d0 else None
-        else:
-            frags_d = jnp.asarray(frags)
-            flen_d = jnp.asarray(frag_len)
-            fd0_d = jnp.asarray(frag_d0) if use_d0 else None
-        cur_tpl, cur_tlen = tpl, tpl_len
+        return cons_ops.consensus_votes_wire(
+            jnp.asarray(buf), S=S, Pb=Pb, Lt=self.Lt,
+            min_column_support=cfg.min_column_support,
+            scoring=self.scoring,
+        )
 
-        for _ in range(max(1, cfg.consensus_rounds)):
-            with STATS.timer("consensus.device_votes", B):
-                if self.mesh is not None:
-                    votes = mesh_mod.sharded_consensus_step(
-                        self.mesh,
-                        frags_d,
-                        flen_d,
-                        cur_tpl,
-                        cur_tlen,
-                        S=S,
-                        min_column_support=cfg.min_column_support,
-                        scoring=self.scoring,
-                        frag_d0=fd0_d,
-                    )
-                else:
-                    votes = cons_ops.consensus_votes(
-                        frags_d,
-                        flen_d,
-                        jnp.asarray(cur_tpl),
-                        jnp.asarray(cur_tlen),
-                        S=S,
-                        min_column_support=cfg.min_column_support,
-                        scoring=self.scoring,
-                        frag_d0=fd0_d,
-                    )
-                votes = jax.tree.map(np.asarray, votes)
-            with STATS.timer("consensus.assemble", B):
-                cons_list = cons_ops.assemble_consensus_batch(
-                    votes, cur_tlen.tolist()
-                )
-            # next round: consensus becomes the template
-            cur_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
-            cur_tlen = np.zeros(B, dtype=np.int32)
-            for b, c in enumerate(cons_list):
-                L = min(len(c), self.Lt)
-                cur_tpl[b, :L] = c[:L]
-                cur_tlen[b] = L
+    def _fetch_votes(self, dev) -> cons_ops.PackedVotes:
+        return cons_ops.wire_decode_votes(np.asarray(dev), self.Lt)
 
-        # host post-processing: counts, weighting, DBG polish
-        # (native C++ fast paths with Python fallbacks)
+    def _host_post(self, ts, S, cons_list):
+        """Host post-processing: counts, anchor gate, weighting, DBG
+        polish (native C++ fast paths with Python fallbacks).
+
+        Threaded across windows: the native calls and numpy kernels
+        release the GIL, so this is the host-side analogue of the
+        reference's CTPL pool (CONSENT-correction.cpp:77) for the
+        stages that stay on CPU."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with STATS.timer("consensus.kmer_dbg", len(ts)):
+            if len(ts) >= 8:
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    list(
+                        ex.map(
+                            lambda b: self._host_post_one(
+                                ts[b], cons_list[b], S
+                            ),
+                            range(len(ts)),
+                        )
+                    )
+            else:
+                for b, t in enumerate(ts):
+                    self._host_post_one(t, cons_list[b], S)
+
+    def _host_post_one(self, t, cons, S):
+        cfg = self.cfg
         from consent_tpu import native
 
-        stats_cm = STATS.timer("consensus.kmer_dbg", B)
-        stats_cm.__enter__()
-        for b, t in enumerate(ts):
-            cons = cons_list[b][: self.Lt]
-            use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
-            dense = native.count_kmers_native(use, cfg.mer_size)
-            if dense is None:
-                dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
-            # MSA give-up gate (-c/-a): windows with fewer than
-            # min_anchors anchor k-mers keep the raw template,
-            # unweighted and unpolished (correctionMSA.cpp:31-36
-            # returns piles[0], an uppercase = all-solid string).
-            bmean_sup = min(cfg.common_kmers, len(use) // 2)
-            n_anch = native.count_anchors_native(
+        cons = cons[: self.Lt]
+        use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+        dense = native.count_kmers_native(use, cfg.mer_size)
+        if dense is None:
+            dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
+        # MSA give-up gate (-c/-a): windows with fewer than
+        # min_anchors anchor k-mers keep the raw template,
+        # unweighted and unpolished (correctionMSA.cpp:31-36
+        # returns piles[0], an uppercase = all-solid string).
+        bmean_sup = min(cfg.common_kmers, len(use) // 2)
+        n_anch = native.count_anchors_native(
+            use, cfg.mer_size, bmean_sup
+        )
+        if n_anch is None:
+            n_anch = kmer_ops.count_anchors_host(
                 use, cfg.mer_size, bmean_sup
             )
-            if n_anch is None:
-                n_anch = kmer_ops.count_anchors_host(
-                    use, cfg.mer_size, bmean_sup
-                )
-            if n_anch < cfg.min_anchors:
-                tpl_f = np.asarray(t.frags[0], dtype=np.uint8)
-                t.consensus = tpl_f
-                t.solid = np.ones(len(tpl_f), dtype=bool)
-                t.counts = SparseCounts.from_dense(dense)
-                continue
-            if len(cons) >= cfg.mer_size:
-                solid = kmer_ops.solidity_mask(
-                    cons, dense, cfg.mer_size, cfg.solid_thresh
-                )
-                res = native.polish_correction_native(
+        if n_anch < cfg.min_anchors:
+            tpl_f = np.asarray(t.frags[0], dtype=np.uint8)
+            t.consensus = tpl_f
+            t.solid = np.ones(len(tpl_f), dtype=bool)
+            t.counts = SparseCounts.from_dense(dense)
+            return
+        if len(cons) >= cfg.mer_size:
+            solid = kmer_ops.solidity_mask(
+                cons, dense, cfg.mer_size, cfg.solid_thresh
+            )
+            res = native.polish_correction_native(
+                cons, solid, dense, cfg.mer_size, cfg.solid_thresh,
+                cfg.max_branches, cfg.dbg_zone,
+            )
+            if res is not None:
+                cons, solid = res
+            else:
+                cons, solid = dbg_mod.polish_correction(
                     cons, solid, dense, cfg.mer_size, cfg.solid_thresh,
                     cfg.max_branches, cfg.dbg_zone,
                 )
-                if res is not None:
-                    cons, solid = res
-                else:
-                    cons, solid = dbg_mod.polish_correction(
-                        cons, solid, dense, cfg.mer_size, cfg.solid_thresh,
-                        cfg.max_branches, cfg.dbg_zone,
-                    )
-            else:
-                # too short for weighting: reference skips weighting and
-                # polish (correctionMSA.cpp:43-46); keep as weak
-                solid = np.zeros(len(cons), dtype=bool)
-            t.consensus = cons
-            t.solid = solid
-            t.counts = SparseCounts.from_dense(dense)
-        stats_cm.__exit__(None, None, None)
+        else:
+            # too short for weighting: reference skips weighting and
+            # polish (correctionMSA.cpp:43-46); keep as weak
+            solid = np.zeros(len(cons), dtype=bool)
+        t.consensus = cons
+        t.solid = solid
+        t.counts = SparseCounts.from_dense(dense)
 
 
 def windows_of_pile(pile: Pile, read_index, cfg: ConsentConfig,
@@ -306,7 +343,7 @@ def process_piles(
     read_index,
     cfg: ConsentConfig,
     batch_align=None,
-    chunk_reads: int = 64,
+    chunk_reads: int = 512,
 ) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
     """Full pipeline over a pile stream.
 

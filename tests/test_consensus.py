@@ -146,3 +146,75 @@ def test_template_missing_trailing_base_restored():
     tpl = true[:-2]  # template lost its last two bases
     out = run_consensus(tpl, [tpl] + [true] * 3)
     assert out == true
+
+
+def test_wire_format_roundtrip_matches_unpacked():
+    """consensus_votes_wire (single-buffer upload/download) must agree
+    with the plain consensus_votes path bit for bit."""
+    import jax
+
+    from consent_tpu.ops import consensus as cons_ops
+    from consent_tpu.ops.align import Scoring
+
+    rng = np.random.default_rng(3)
+    B, S, Lf, W = 4, 8, 128, 128
+    frags = rng.integers(0, 4, (B, S, Lf)).astype(np.uint8)
+    frag_len = rng.integers(Lf // 2, Lf + 1, (B, S)).astype(np.int32)
+    tpl = rng.integers(0, 4, (B, W)).astype(np.uint8)
+    tpl_len = np.full(B, W, np.int32)
+    d0 = rng.integers(-4, 5, (B, S)).astype(np.int32)
+    sc = Scoring(max_hgap=16, band=128)
+
+    ref = cons_ops.consensus_votes(
+        jnp.asarray(frags), jnp.asarray(frag_len), jnp.asarray(tpl),
+        jnp.asarray(tpl_len), S=S, min_column_support=2, scoring=sc,
+        frag_d0=jnp.asarray(d0),
+    )
+    ref_cons = cons_ops.assemble_consensus_batch(
+        jax.tree.map(np.asarray, ref), tpl_len.tolist()
+    )
+
+    packed = cons_ops.pack_bases_host(frags)
+    buf = cons_ops.wire_encode_inputs(packed, frag_len, tpl, tpl_len, d0)
+    out = cons_ops.consensus_votes_wire(
+        jnp.asarray(buf), S=S, Pb=Lf // 4, Lt=W,
+        min_column_support=2, scoring=sc,
+    )
+    votes = cons_ops.wire_decode_votes(np.asarray(out), W)
+    wire_cons = cons_ops.assemble_consensus_batch(votes, tpl_len.tolist())
+    for a, b in zip(ref_cons, wire_cons):
+        assert np.array_equal(a, b)
+
+
+def test_run_conservation_restores_homopolymer_indels():
+    """Indels inside equal-base runs are invisible to per-column votes
+    (every run column is matched on some optimal path); the
+    run-conservation votes must fix both directions."""
+    truth = seqs.encode("ACGTCCCCAGTTGGGGACTAAAATTGC" * 6)
+    # template missing one C of the CCCC run and with an extra T
+    tpl_s = "ACGTCCCAGTTGGGGACTAAAATTGC" + "ACGTCCCCAGTTTGGGGACTAAAATTGC" \
+        + "ACGTCCCCAGTTGGGGACTAAAATTGC" * 4
+    tpl = seqs.encode(tpl_s)
+    B, S = 1, 8
+    W = 256
+    frags = np.zeros((B, S, W), np.uint8)
+    flen = np.zeros((B, S), np.int32)
+    for s in range(S):
+        frags[0, s, : len(truth)] = truth[:W]
+        flen[0, s] = min(len(truth), W)
+    tp = np.zeros((B, W), np.uint8)
+    tp[0, : len(tpl)] = tpl[:W]
+    tlen = np.array([min(len(tpl), W)], np.int32)
+
+    from consent_tpu.ops import consensus as cons_ops
+
+    votes = cons_ops.consensus_votes(
+        jnp.asarray(frags), jnp.asarray(flen), jnp.asarray(tp),
+        jnp.asarray(tlen), S=S, min_column_support=2,
+    )
+    import jax
+
+    cons = cons_ops.assemble_consensus_batch(
+        jax.tree.map(np.asarray, votes), tlen.tolist()
+    )[0]
+    assert seqs.decode(cons) == seqs.decode(truth[: len(cons)])

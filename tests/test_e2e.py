@@ -43,7 +43,6 @@ def test_correction_improves_identity(sim):
     genome, reads = sim
     cfg = correct_preset(
         window_size=200, window_overlap=20, min_support=3,
-        consensus_rounds=1,
     )
     piles, results = run_pipeline(genome, reads, cfg)
     by_name = {r.name: r for r in reads}
@@ -57,15 +56,21 @@ def test_correction_improves_identity(sim):
         read = by_name[name]
         truth = truth_of(read, genome)
         raw_ids.append(metrics.identity(read.codes, truth))
-        cor_ids.append(metrics.identity(codes, truth))
+        # trim-aware: the corrector intentionally trims weak read ends;
+        # truth overhangs there are not correction errors
+        cor_ids.append(
+            metrics.error_profile(codes, truth,
+                                  free_truth_ends=True)["identity"]
+        )
 
     assert n_out >= len(results) * 0.7, "too many reads dropped"
     raw_mean = float(np.mean(raw_ids))
     cor_mean = float(np.mean(cor_ids))
     print(f"raw identity {raw_mean:.4f} -> corrected {cor_mean:.4f} "
           f"({n_out} reads)")
-    assert cor_mean > raw_mean + 0.03
-    assert cor_mean > 0.95
+    assert cor_mean > raw_mean + 0.06
+    # paper-regime gate: ~99%+ post-correction at CLR error rates
+    assert cor_mean > 0.985
 
 
 def test_pipeline_deterministic(sim):
