@@ -59,9 +59,12 @@ def simulate(
     error_rate: float = 0.10,
     seed: int = 0,
     with_reverse: bool = True,
+    frac_sub: float = 1 / 3,
+    frac_ins: float = 1 / 3,
 ) -> Tuple[np.ndarray, List[SimRead]]:
     """Returns (genome codes, reads).  Reads tile the genome randomly at
-    the requested coverage."""
+    the requested coverage.  frac_sub/frac_ins shape the error profile
+    (CLR default thirds; ONT-like: fewer subs, more indels)."""
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, genome_len).astype(np.uint8)
     n_reads = max(2, int(coverage * genome_len / read_len))
@@ -71,7 +74,7 @@ def simulate(
         L = min(L, genome_len)
         g0 = int(rng.integers(0, genome_len - L + 1))
         seg = genome[g0 : g0 + L]
-        noisy, g2r = mutate(seg, rng, error_rate)
+        noisy, g2r = mutate(seg, rng, error_rate, frac_sub, frac_ins)
         rev = bool(with_reverse and rng.random() < 0.5)
         codes = seqs.revcomp(noisy) if rev else noisy
         reads.append(

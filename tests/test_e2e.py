@@ -86,3 +86,34 @@ def test_pipeline_deterministic(sim):
         assert n1 == n2
         assert np.array_equal(c1, c2)
         assert np.array_equal(s1, s2)
+
+
+def test_correction_ont_profile():
+    """ONT-like error profile: higher error rate, indel-heavy (the
+    reference's --type ONT regime; its engine is profile-agnostic past
+    the overlapper and so is ours — this pins accuracy there too)."""
+    genome, reads = simulate.simulate(
+        genome_len=3000, coverage=14.0, read_len=900,
+        error_rate=0.12, seed=9, frac_sub=0.2, frac_ins=0.4,
+    )
+    cfg = correct_preset(
+        window_size=200, window_overlap=20, min_support=3,
+    )
+    piles, results = run_pipeline(genome, reads, cfg)
+    by_name = {r.name: r for r in reads}
+    raw_ids, cor_ids = [], []
+    for (name, codes, solid) in results:
+        if len(codes) == 0:
+            continue
+        read = by_name[name]
+        truth = truth_of(read, genome)
+        raw_ids.append(metrics.identity(read.codes, truth))
+        cor_ids.append(
+            metrics.error_profile(codes, truth,
+                                  free_truth_ends=True)["identity"]
+        )
+    raw_mean = float(np.mean(raw_ids))
+    cor_mean = float(np.mean(cor_ids))
+    print(f"ONT raw {raw_mean:.4f} -> corrected {cor_mean:.4f}")
+    assert cor_mean > raw_mean + 0.06
+    assert cor_mean > 0.97
