@@ -435,3 +435,157 @@ def test_reformat_matches_reference(ref, tmp_path):
     ours = tmp_path / "ours.paf"
     paf_mod.reformat_file(str(src), str(ours))
     assert ours.read_text() == theirs.read_text()
+
+
+# ---------------------------------------------------------------------------
+# DBG polish chain (correctionDBG.cpp polishCorrection + DBG.cpp
+# link/extendLeft/extendRight) vs the compiled reference, with
+# tests/ref_shim/bmean_utils_stub.h standing in for the empty BMEAN
+# submodule (only kmer/str2num/kmer2str are used: DBG.h:7,
+# DBG.cpp:21,30,34-36,50, correctionDBG.cpp:79-80)
+
+
+def _build_dbg(tmpdir):
+    # The reference includes "../BMEAN/utils.h" relative to its src/
+    # dir; /root/reference is read-only, so give the preprocessor a
+    # fake src dir whose sibling BMEAN/ holds the stub.
+    inc_src = os.path.join(tmpdir, "inc", "src")
+    inc_bmean = os.path.join(tmpdir, "inc", "BMEAN")
+    os.makedirs(inc_src, exist_ok=True)
+    os.makedirs(inc_bmean, exist_ok=True)
+    import shutil
+
+    shutil.copy(
+        os.path.join(HERE, "ref_shim", "bmean_utils_stub.h"),
+        os.path.join(inc_bmean, "utils.h"),
+    )
+    so = os.path.join(tmpdir, "dbg_shim.so")
+    units = [
+        f"{REF}/src/correctionDBG.cpp",
+        f"{REF}/src/DBG.cpp",
+        f"{REF}/src/utils.cpp",
+        f"{REF}/src/reverseComplement.cpp",
+    ]
+    subprocess.run(
+        ["g++", "-std=c++11", "-O2", "-fPIC", "-shared",
+         "-I", f"{REF}/src", "-I", inc_src,
+         os.path.join(HERE, "ref_shim", "dbg_shim.cpp"), *units,
+         "-o", so],
+        check=True, capture_output=True,
+    )
+    return so
+
+
+@pytest.fixture(scope="module")
+def dbg_ref(tmp_path_factory):
+    if not os.path.isdir(os.path.join(REF, "src")):
+        pytest.skip("reference sources unavailable")
+    tmpdir = str(tmp_path_factory.mktemp("dbg_shim"))
+    try:
+        so = _build_dbg(tmpdir)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot compile reference DBG shim: {e}")
+    lib = ctypes.CDLL(so)
+    c = ctypes
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.ref_polish_correction.argtypes = [
+        c.c_char_p, c.c_int64,
+        u64p, np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        c.c_int64, c.c_uint32, c.c_int32, c.c_char_p, c.c_int64,
+    ]
+    lib.ref_polish_correction.restype = c.c_int64
+    return lib
+
+
+def _ref_polish(lib, cased: str, counts: np.ndarray, k: int,
+                solid_thresh: int) -> str:
+    keys = np.flatnonzero(counts).astype(np.uint64)
+    cnts = counts[keys.astype(np.int64)].astype(np.uint32)
+    out = ctypes.create_string_buffer(BUF)
+    n = lib.ref_polish_correction(
+        cased.encode(), len(cased), keys, cnts, len(keys), k,
+        solid_thresh, out, BUF,
+    )
+    assert n >= 0
+    return out.raw[:n].decode()
+
+
+def _dbg_case(rng, k):
+    """One fuzz case: truth-derived k-mer counts + a cased consensus
+    with weak (lowercase) head/interior/tail regions and errors."""
+    from consent_tpu.core import dbg as dbg_mod
+
+    L = int(rng.integers(max(3 * k, 40), 300))
+    truth = rng.integers(0, 4, L).astype(np.uint8)
+    counts = np.zeros(4 ** k, dtype=np.int32)
+    v = 0
+    mask = (1 << (2 * k)) - 1
+    for i in range(L):
+        v = ((v << 2) | int(truth[i])) & mask
+        if i >= k - 1:
+            counts[v] += int(rng.integers(4, 13))
+    # spurious branch k-mers
+    for _ in range(int(rng.integers(0, 8))):
+        counts[int(rng.integers(0, 4 ** k))] += int(rng.integers(4, 13))
+
+    codes = truth.copy()
+    solid = np.ones(L, dtype=bool)
+    # weak regions with errors inside
+    for _ in range(int(rng.integers(1, 4))):
+        beg = int(rng.integers(0, L - 2))
+        end = min(L, beg + int(rng.integers(2, 2 * k)))
+        solid[beg:end] = False
+        n_err = int(rng.integers(0, 4))
+        for _ in range(n_err):
+            p = int(rng.integers(beg, end))
+            codes[p] = (codes[p] + 1 + rng.integers(0, 3)) % 4
+    # sometimes weak head / tail
+    if rng.random() < 0.5:
+        solid[: int(rng.integers(1, 2 * k))] = False
+    if rng.random() < 0.5:
+        solid[L - int(rng.integers(1, 2 * k)):] = False
+    # occasionally scatter extra weak bases
+    if rng.random() < 0.3:
+        solid &= rng.random(L) > 0.1
+    return codes, solid, counts
+
+
+def test_dbg_polish_fuzz(dbg_ref):
+    """polish_correction (Python AND native C++) must match the
+    compiled reference's polishCorrection byte for byte, case
+    included (budgets are the reference's hardcoded 50/3,
+    correctionDBG.cpp:100,102)."""
+    from consent_tpu import native
+    from consent_tpu.core import dbg as dbg_mod
+
+    rng = np.random.default_rng(20260821)
+    n_native = 0
+    for case in range(N_FUZZ):
+        k = int(rng.choice([7, 9, 11]))
+        solid_thresh = int(rng.integers(2, 7))
+        codes, solid, counts = _dbg_case(rng, k)
+        cased = seqs.decode(codes, solid)
+
+        want = _ref_polish(dbg_ref, cased, counts, k, solid_thresh)
+
+        got_c, got_s = dbg_mod.polish_correction(
+            codes, solid, counts, k, solid_thresh,
+        )
+        got = seqs.decode(got_c, got_s)
+        assert got == want, (
+            f"case {case}: python DBG diverges\nk={k} t={solid_thresh}"
+            f"\nin  ={cased}\nwant={want}\ngot ={got}"
+        )
+
+        res = native.polish_correction_native(
+            codes, solid, counts, k, solid_thresh,
+        )
+        if res is not None:
+            n_c, n_s = res
+            ngot = seqs.decode(n_c, n_s)
+            assert ngot == want, (
+                f"case {case}: native DBG diverges\nk={k} "
+                f"t={solid_thresh}\nin  ={cased}\nwant={want}\ngot ={ngot}"
+            )
+            n_native += 1
+    assert n_native > 0 or native.get_lib() is None
