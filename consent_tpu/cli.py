@@ -71,6 +71,12 @@ def _common_flags(p: argparse.ArgumentParser, correct: bool) -> None:
         "--resume", action="store_true",
         help="chunk-level checkpoint/resume under <out>.chunks/",
     )
+    p.add_argument(
+        "--chunk-retries", type=int, default=1,
+        help="with --resume: retries per failed chunk before it is "
+             "quarantined (recorded in the manifest; the run continues "
+             "and a --resume rerun retries quarantined chunks)",
+    )
     p.add_argument("--stats", action="store_true",
                    help="print per-stage timing stats to stderr")
     p.add_argument("--profile-dir", default=None,
@@ -95,6 +101,7 @@ def _cfg_from_args(args, correct: bool):
         min_anchors=args.minAnchors,
         window_overlap=args.windowOverlap,
         consensus_rounds=args.consensus_rounds,
+        n_workers=args.nproc,
     )
 
 
@@ -244,6 +251,8 @@ def _drive(piles, index, cfg, args, label):
         f"{label}.pipeline"
     ):
         if args.resume:
+            import itertools
+
             from consent_tpu.pipeline.checkpoint import ChunkStore
 
             run_key = {
@@ -255,24 +264,72 @@ def _drive(piles, index, cfg, args, label):
                 "paf": args.paf,
             }
             store = ChunkStore(out_path, run_key=run_key)
-            skip = store.n_complete_prefix()
-            for _ in range(skip * CHUNK_PILES):
-                if next(stream, None) is None:
+            retries = max(0, getattr(args, "chunk_retries", 1))
+
+            def run_chunk(batch, batch_ords):
+                recs = []
+                n_kept = 0
+                for j, (name, codes, solid) in enumerate(
+                    engine.process_piles(iter(batch), index, cfg)
+                ):
+                    if len(codes) == 0:
+                        continue
+                    n_kept += 1
+                    header = (
+                        f"{name} #{batch_ords[j]}" if multi else name
+                    )
+                    recs.append((header, seqs.decode(codes, solid)))
+                return recs, n_kept
+
+            chunk_idx = 0
+            while True:
+                batch = list(itertools.islice(stream, CHUNK_PILES))
+                if not batch:
                     break
-                if multi:
-                    ordinals.popleft()
-            chunk_idx = skip
-            records = []
-            for item in results():
-                if item is not None:
-                    records.append(item)
-                if n_in % CHUNK_PILES == 0:
-                    store.write_chunk(chunk_idx, records)
+                batch_ords = (
+                    [ordinals.popleft() for _ in batch] if multi else None
+                )
+                if store.is_done(chunk_idx):
                     chunk_idx += 1
-                    records = []
-            if n_in % CHUNK_PILES != 0 or records:
-                store.write_chunk(chunk_idx, records)
+                    continue
+                # shard-level failure isolation: retry, then quarantine
+                # and continue (a --resume rerun retries exactly the
+                # quarantined chunks)
+                err = None
+                for attempt in range(1 + retries):
+                    try:
+                        recs, n_kept = run_chunk(batch, batch_ords)
+                    except Exception as e:  # noqa: BLE001
+                        err = e
+                        print(
+                            f"[{label}] chunk {chunk_idx} failed "
+                            f"(attempt {attempt + 1}/{1 + retries}): "
+                            f"{e!r}",
+                            file=sys.stderr,
+                        )
+                        continue
+                    store.write_chunk(chunk_idx, recs)
+                    n_in += len(batch)
+                    n_out += n_kept
+                    break
+                else:
+                    store.quarantine(chunk_idx, repr(err))
+                    print(
+                        f"[{label}] chunk {chunk_idx} quarantined "
+                        f"after {1 + retries} attempts; continuing "
+                        f"(rerun with --resume to retry it)",
+                        file=sys.stderr,
+                    )
+                chunk_idx += 1
             store.assemble(out_path)
+            quarantined = store.quarantined_chunks()
+            if quarantined:
+                print(
+                    f"[{label}] WARNING: {len(quarantined)} chunk(s) "
+                    f"quarantined and missing from {out_path}: "
+                    f"{quarantined}",
+                    file=sys.stderr,
+                )
         else:
             with open(out_path, "w") as out:
                 for item in results():
@@ -357,4 +414,21 @@ def main_merge_shards(argv=None) -> int:
     from consent_tpu.parallel import multihost
 
     multihost.merge_shards(args.out, args.process_count, args.out)
+    # surface any quarantined chunks left behind by --resume shards
+    from consent_tpu.pipeline.checkpoint import ChunkStore
+
+    for pidx in range(args.process_count):
+        sdir = multihost.shard_path(args.out, pidx) + ".chunks"
+        if not os.path.isdir(sdir):
+            continue
+        q = ChunkStore(
+            multihost.shard_path(args.out, pidx)
+        ).quarantined_chunks()
+        if q:
+            print(
+                f"[consent-merge-shards] WARNING: shard {pidx} has "
+                f"{len(q)} quarantined chunk(s) {q} — their reads are "
+                f"missing; rerun that shard with --resume",
+                file=sys.stderr,
+            )
     return 0

@@ -80,6 +80,18 @@ class ConsentConfig:
     # Local devices the engine shards window batches over (shard_map
     # over the `data` mesh axis); None = all local devices.
     n_devices: Optional[int] = None
+    # Devices of the `frag` mesh axis: fragment slots of each window
+    # shard across devices and the vote reductions become psum
+    # all-reduces (parallel/mesh.py) — the deep-pile geometry (polish
+    # piles reach maxSupport=20000).  None = auto: enabled when the
+    # fragment-slot demand (max_msa + 1) exceeds device_lanes, i.e.
+    # one window's fragments no longer fit one device's lane budget.
+    frag_devices: Optional[int] = None
+    # Host-side worker threads for the CPU stages (k-mer counting,
+    # DBG polish, stitch apply) — the TPU-side analogue of the
+    # reference's -j sizing its CTPL pool (CONSENT-correction.cpp:77).
+    # None = os.cpu_count().  Wired to the CLI's --nproc/-j.
+    n_workers: Optional[int] = None
 
     @property
     def frag_len(self) -> int:

@@ -79,18 +79,37 @@ class ConsensusEngine:
             band=cfg.consensus_band,
         )
         # fragment slots cap: template + maxMSA support fragments
-        self.s_cap = S_BUCKETS[-1]
+        # (deep -M raises it past the standard buckets)
+        self.s_cap = max(S_BUCKETS[-1], cfg.max_msa + 1)
         self.Lf = self._round128(cfg.window_size)
         self.Lt = self._round128(cfg.window_size + cfg.frag_slack)
         # device parallelism: window batches split over a 1-D `data`
         # mesh of the local devices via shard_map (the TPU equivalent
-        # of the reference's CTPL fan-out, CONSENT-correction.cpp:77)
+        # of the reference's CTPL fan-out, CONSENT-correction.cpp:77).
+        # Deep piles whose fragment slots exceed one device's lane
+        # budget (polish with -M in the thousands) switch to the
+        # (data, frag) 2-axis mesh: fragment slots shard over `frag`
+        # and the vote reductions become psum all-reduces.
         n_local = len(jax.devices())
         self.n_devices = min(cfg.n_devices or n_local, n_local)
+        nf = cfg.frag_devices
+        if nf is None:
+            nf = (
+                self.n_devices
+                if self.s_cap > cfg.device_lanes and self.n_devices > 1
+                else 1
+            )
+        self.frag_devices = max(1, min(nf, self.n_devices))
         if self.n_devices > 1:
             from consent_tpu.parallel import mesh as mesh_mod
 
-            self.mesh = mesh_mod.make_data_mesh(self.n_devices)
+            if self.frag_devices > 1:
+                assert self.n_devices % self.frag_devices == 0
+                self.mesh = mesh_mod.make_mesh(
+                    self.n_devices, frag_axis=self.frag_devices
+                )
+            else:
+                self.mesh = mesh_mod.make_data_mesh(self.n_devices)
         else:
             self.mesh = None
         self.max_lanes = cfg.device_lanes * self.n_devices
@@ -117,6 +136,10 @@ class ConsensusEngine:
                     np.zeros(1, np.int32))
                 continue
             b = _bucket_for(n, self.s_cap)
+            if self.frag_devices > 1:
+                # fragment slots shard over `frag`: equal shards
+                nf = self.frag_devices
+                b = -(-b // nf) * nf
             buckets.setdefault(b, []).append(t)
 
         jobs: List[Tuple[List[WindowTask], int]] = []
@@ -165,9 +188,9 @@ class ConsensusEngine:
             pending = nxt
 
     def _max_b(self, S: int) -> int:
-        """Windows per device call for bucket S (multiple of
-        n_devices so shard_map gets equal shards)."""
-        d = self.n_devices
+        """Windows per device call for bucket S (multiple of the
+        data-axis size so shard_map gets equal shards)."""
+        d = self.n_devices // self.frag_devices
         return max(d, min(self.max_lanes // S, MAX_B) // d * d)
 
     def _pad_b(self, n: int, max_b: int) -> int:
@@ -178,7 +201,7 @@ class ConsensusEngine:
         ONE executable per fragment bucket on the hot path, tail
         batches included (the padding compute is orders of magnitude
         cheaper than compiling another shape)."""
-        d = self.n_devices
+        d = self.n_devices // self.frag_devices
         if n >= min(32, max_b):
             return max_b
         b = 1
@@ -216,6 +239,18 @@ class ConsensusEngine:
         (one upload buffer in, one download buffer out); fetch the
         returned device array with _fetch_votes when needed."""
         cfg = self.cfg
+        if self.frag_devices > 1:
+            # deep-pile geometry: fragment slots shard over `frag`,
+            # vote reductions psum over it (parallel/mesh.py)
+            from consent_tpu.parallel import mesh as mesh_mod
+
+            return mesh_mod.sharded_consensus_step(
+                self.mesh, frags, frag_len, tpl, tpl_len, S=S,
+                min_column_support=cfg.min_column_support,
+                scoring=self.scoring,
+                frag_d0=frag_d0 if self.scoring.band else None,
+                packed=True, frags_packed=True,
+            )
         buf = cons_ops.wire_encode_inputs(
             frags, frag_len, tpl, tpl_len, frag_d0
         )
@@ -235,29 +270,31 @@ class ConsensusEngine:
         )
 
     def _fetch_votes(self, dev) -> cons_ops.PackedVotes:
+        if isinstance(dev, cons_ops.PackedVotes):  # frag-axis path
+            return cons_ops.PackedVotes(*[np.asarray(x) for x in dev])
         return cons_ops.wire_decode_votes(np.asarray(dev), self.Lt)
 
     def _host_post(self, ts, S, cons_list):
         """Host post-processing: counts, anchor gate, weighting, DBG
         polish (native C++ fast paths with Python fallbacks).
 
-        Threaded across windows: the native calls and numpy kernels
-        release the GIL, so this is the host-side analogue of the
-        reference's CTPL pool (CONSENT-correction.cpp:77) for the
-        stages that stay on CPU."""
-        from concurrent.futures import ThreadPoolExecutor
+        Threaded across windows on the shared `--nproc`-sized pool:
+        the native calls and numpy kernels release the GIL, so this is
+        the host-side analogue of the reference's CTPL pool
+        (CONSENT-correction.cpp:77) for the stages that stay on CPU."""
+        from consent_tpu.utils.hostpool import host_pool
 
+        pool = host_pool(self.cfg.n_workers)
         with STATS.timer("consensus.kmer_dbg", len(ts)):
-            if len(ts) >= 8:
-                with ThreadPoolExecutor(max_workers=8) as ex:
-                    list(
-                        ex.map(
-                            lambda b: self._host_post_one(
-                                ts[b], cons_list[b], S
-                            ),
-                            range(len(ts)),
-                        )
+            if pool is not None and len(ts) >= 8:
+                list(
+                    pool.map(
+                        lambda b: self._host_post_one(
+                            ts[b], cons_list[b], S
+                        ),
+                        range(len(ts)),
                     )
+                )
             else:
                 for b, t in enumerate(ts):
                     self._host_post_one(t, cons_list[b], S)

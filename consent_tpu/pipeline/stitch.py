@@ -225,9 +225,13 @@ def host_batch_align(qs: List[np.ndarray], rs: List[np.ndarray]
 def run_stitch(jobs: List[StitchJob],
                batch_align: BatchAlignFn = host_batch_align) -> None:
     """Drive many stitch jobs in lockstep: one batched alignment per
-    round, one window advanced per live job per round."""
+    round, one window advanced per live job per round.  The per-job
+    apply step (independent numpy splices) fans out over the shared
+    --nproc host pool."""
+    from consent_tpu.utils.hostpool import host_pool
     from consent_tpu.utils.observe import GLOBAL_STATS as STATS
 
+    pool = host_pool(jobs[0].cfg.n_workers) if jobs else None
     live = [j for j in jobs if not j.done]
     while live:
         qs, rs = [], []
@@ -238,6 +242,10 @@ def run_stitch(jobs: List[StitchJob],
         with STATS.timer("stitch.align", len(live)):
             spans = batch_align(qs, rs)
         with STATS.timer("stitch.apply", len(live)):
-            for j, s in zip(live, spans):
-                j.apply(s)
+            if pool is not None and len(live) >= 8:
+                list(pool.map(lambda js: js[0].apply(js[1]),
+                              zip(live, spans)))
+            else:
+                for j, s in zip(live, spans):
+                    j.apply(s)
         live = [j for j in live if not j.done]
