@@ -59,7 +59,34 @@ class ChunkStore:
 
     def is_done(self, idx: int) -> bool:
         rec = self._done.get(idx)
-        return bool(rec) and os.path.exists(self.chunk_path(idx))
+        return (
+            bool(rec)
+            and not rec.get("quarantined")
+            and os.path.exists(self.chunk_path(idx))
+        )
+
+    def is_quarantined(self, idx: int) -> bool:
+        rec = self._done.get(idx)
+        return bool(rec) and bool(rec.get("quarantined"))
+
+    def has_record(self, idx: int) -> bool:
+        return idx in self._done
+
+    def quarantine(self, idx: int, error: str) -> None:
+        """Record a chunk that failed all retry attempts.  The run
+        continues past it; a later rerun with --resume retries exactly
+        the quarantined chunks (a fresh write_chunk record overrides
+        this one — the manifest is append-only, last record wins)."""
+        rec = {"chunk": idx, "quarantined": True, "error": error[:500]}
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self._done[idx] = rec
+
+    def quarantined_chunks(self) -> List[int]:
+        return sorted(
+            idx for idx, rec in self._done.items()
+            if rec.get("quarantined")
+        )
 
     def write_chunk(self, idx: int, records: List[Tuple[str, str]]) -> None:
         """records: (name, sequence-with-case) in pile order; atomic."""
@@ -73,17 +100,20 @@ class ChunkStore:
         self._done[idx] = {"chunk": idx, "n": len(records)}
 
     def assemble(self, out_path: str) -> int:
-        """Concatenate completed chunks (in order, stopping at the first
-        gap) into the final output; returns records written."""
+        """Concatenate completed chunks in order into the final output;
+        returns records written.  Quarantined chunks are skipped (their
+        reads are absent until a --resume rerun repairs them); assembly
+        stops at the first chunk with no manifest record at all."""
         n = 0
         with open(out_path, "w") as out:
             idx = 0
-            while self.is_done(idx):
-                with open(self.chunk_path(idx)) as f:
-                    for line in f:
-                        out.write(line)
-                        if line.startswith(">"):
-                            n += 1
+            while self.has_record(idx):
+                if self.is_done(idx):
+                    with open(self.chunk_path(idx)) as f:
+                        for line in f:
+                            out.write(line)
+                            if line.startswith(">"):
+                                n += 1
                 idx += 1
         return n
 

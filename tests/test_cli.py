@@ -191,3 +191,48 @@ def test_cli_version_flag(capsys):
         cli.main_correct(["--version"])
     assert e.value.code == 0
     assert "consent-tpu" in capsys.readouterr().out
+
+
+def test_cli_chunk_quarantine_and_repair(small_dataset, tmp_path,
+                                         monkeypatch, capsys):
+    """Fault injection: a chunk that fails every retry is quarantined
+    (run completes, failure isolated, warning printed); a --resume
+    rerun retries exactly the quarantined chunk and restores the
+    byte-identical full output (SURVEY §5 shard-level retry)."""
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    from consent_tpu.pipeline import engine as engine_mod
+
+    flags = [
+        "--in", str(reads_fa), "--windowSize", "200",
+        "--windowOverlap", "20", "--overlapper", "native",
+    ]
+    out1 = tmp_path / "fresh.fasta"
+    cli.main_correct(flags + ["--out", str(out1)])
+    fresh = open(out1).read()
+    assert fresh
+
+    monkeypatch.setattr(cli, "CHUNK_PILES", 4)
+    out2 = tmp_path / "quar.fasta"
+    real = engine_mod.process_piles
+    calls = {"n": 0}
+
+    def flaky(piles, index, cfg, **kw):
+        calls["n"] += 1
+        if calls["n"] in (2, 3):  # chunk 1: initial attempt + 1 retry
+            raise RuntimeError("injected chunk failure")
+        yield from real(piles, index, cfg, **kw)
+
+    monkeypatch.setattr(engine_mod, "process_piles", flaky)
+    rc = cli.main_correct(flags + ["--out", str(out2), "--resume"])
+    assert rc == 0  # the run completed despite the failing chunk
+    err = capsys.readouterr().err
+    assert "quarantined" in err
+    partial = open(out2).read()
+    assert partial and partial != fresh  # chunk 1's reads are missing
+    assert len(partial) < len(fresh)
+
+    # repair: rerun with --resume and the fault gone
+    monkeypatch.setattr(engine_mod, "process_piles", real)
+    rc = cli.main_correct(flags + ["--out", str(out2), "--resume"])
+    assert rc == 0
+    assert open(out2).read() == fresh
