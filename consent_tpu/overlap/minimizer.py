@@ -282,38 +282,70 @@ def map_to_targets_piles(
     reads: Sequence[Tuple[str, np.ndarray]],
     params: OverlapParams = OverlapParams(),
     max_support: int = 20000,
+    tmpdir: str | None = None,
 ) -> Iterator[Pile]:
     """Polishing-shaped piles: for each *target* (contig), the overlaps
     of all reads mapped onto it, with the contig as the pile query —
     the role of minimap2 + sort + reformatPAF in the reference
-    (CONSENT-polish:189-193)."""
+    (CONSENT-polish:189-193).
+
+    Streaming: emitted rows spill to a temp PAF tagged with the
+    contig's input ordinal, an external stable sort(1) groups them
+    (the same discipline as the reference's `sort -k6,6`,
+    CONSENT-polish:192, and io/paf.py's query grouping), and piles
+    stream back — memory stays constant in the number of overlap rows
+    instead of holding every read x contig row at once (maxSupport for
+    polishing is 20000-deep)."""
+    import os
+    import tempfile
+
+    from consent_tpu.io import paf as paf_mod
+
     index = MinimizerIndex(params)
+    ordinal: Dict[str, int] = {}
     for name, codes in targets:
         index.add(name, codes)
+        ordinal.setdefault(name, len(ordinal))
     index.build()
 
-    per_target: Dict[str, Tuple[List[str], List[tuple]]] = {
-        name: ([], []) for name, _ in targets
-    }
-    for name, codes in reads:
-        for q_name, t_name, row in map_query(
-            index, name, codes, skip_self=False
+    tagged = tempfile.NamedTemporaryFile(
+        "w", suffix=".paf.tag", delete=False, dir=tmpdir
+    )
+    sorted_path = tagged.name + ".sorted"
+    try:
+        with tagged as out:
+            for name, codes in reads:
+                for q_name, t_name, row in map_query(
+                    index, name, codes, skip_self=False
+                ):
+                    # swap query<->target so the contig becomes the
+                    # query; ends exclusive in PAF text (parse_line
+                    # re-derives the inclusive convention)
+                    (q_len, qs, qe, strand,
+                     t_len, ts, te, m, span, mq) = row
+                    out.write(
+                        f"{ordinal[t_name]}\t{t_name}\t{t_len}\t{ts}\t"
+                        f"{te + 1}\t{'-' if strand else '+'}\t{q_name}"
+                        f"\t{q_len}\t{qs}\t{qe + 1}\t{m}\t{span}\t"
+                        f"{mq}\n"
+                    )
+        if not paf_mod._external_sort(
+            tagged.name, sorted_path, ["-k1,1n"], tmpdir=tmpdir
         ):
-            # swap query<->target so the contig becomes the query
-            (q_len, qs, qe, strand, t_len, ts, te, m, span, mq) = row
-            per_target[t_name][0].append(q_name)
-            per_target[t_name][1].append(
-                (t_len, ts, te, strand, q_len, qs, qe, m, span, mq)
+            # no sort(1): one in-RAM stable pass
+            with open(tagged.name) as f:
+                lines = sorted(
+                    (ln for ln in f if ln.strip()),
+                    key=lambda ln: int(ln.split("\t", 1)[0]),
+                )
+            with open(sorted_path, "w") as f:
+                f.writelines(lines)
+        os.unlink(tagged.name)
+        with open(sorted_path) as f:
+            yield from paf_mod.iter_piles(
+                (line.split("\t", 1)[1] for line in f), max_support
             )
-
-    for name, _ in targets:
-        t_names, rows = per_target[name]
-        if not rows:
-            continue
-        ov = np.array(rows, dtype=OVERLAP_DTYPE)
-        order = np.argsort(-ov["matches"], kind="stable")[:max_support]
-        yield Pile(
-            q_name=name,
-            t_names=[t_names[i] for i in order],
-            ov=ov[order],
-        )
+    finally:
+        for p in (tagged.name, sorted_path):
+            if os.path.exists(p):
+                os.unlink(p)
