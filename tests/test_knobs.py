@@ -203,3 +203,28 @@ def test_config_validation_rejects_bad_knobs():
         ConsentConfig(device_lanes=0).validate()
     with pytest.raises(ValueError):
         ConsentConfig(max_branches=-1).validate()
+
+
+def test_engine_frag_axis_matches_single_device():
+    """The deep-pile (data, frag) production path: fragment slots
+    sharded over `frag` with psum vote reductions must be
+    byte-identical to the single-device engine — and it must be the
+    path the polish preset auto-selects when fragment demand exceeds
+    device_lanes."""
+    from consent_tpu.config import polish_preset
+
+    outs = {}
+    for nd, nf in ((1, 1), (8, 4), (8, None)):
+        cfg = polish_preset(
+            window_size=128, window_overlap=16, min_support=2,
+            consensus_rounds=1, n_devices=nd, frag_devices=nf,
+            device_lanes=8,  # < max_msa + 1 -> auto frag axis
+        )
+        eng = eng_mod.ConsensusEngine(cfg)
+        if nf is None and nd == 8:
+            assert eng.frag_devices == 8  # auto-selected
+        outs[(nd, nf)] = [
+            (name, codes.tobytes(), solid.tobytes())
+            for name, codes, solid in _tiny_engine_run(cfg)
+        ]
+    assert outs[(1, 1)] == outs[(8, 4)] == outs[(8, None)]
