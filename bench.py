@@ -95,15 +95,19 @@ def main():
 
     chain(1, frags_d)  # compile
     chain(4, frags_d)  # warm
-    t0 = time.perf_counter()
-    chain(1, frags_d)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chain(4, frags_d)
-    t4 = time.perf_counter() - t0
-    per_call = max(1e-9, (t4 - t1) / 3)
+    per_calls = []
+    for _ in range(3):  # repeated chain-slope measurements
+        t0 = time.perf_counter()
+        chain(1, frags_d)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(4, frags_d)
+        t4 = time.perf_counter() - t0
+        per_calls.append(max(1e-9, (t4 - t1) / 3))
+    per_call = float(np.median(per_calls))
 
     wps = B / per_call
+    rounds = 2  # config.py consensus_rounds default: 2 calls/window
     print(
         json.dumps(
             {
@@ -111,6 +115,10 @@ def main():
                 "value": round(wps, 2),
                 "unit": "windows/s",
                 "vs_baseline": round(wps / BASELINE_WINDOWS_PER_S, 3),
+                "n_reps": len(per_calls),
+                "min_ms_per_call": round(min(per_calls) * 1e3, 3),
+                "median_ms_per_call": round(per_call * 1e3, 3),
+                "rounds2_windows_per_s": round(wps / rounds, 2),
             }
         )
     )

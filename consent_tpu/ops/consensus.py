@@ -165,19 +165,25 @@ def consensus_votes(
     ins_valid = k < ins_count[:, :, None]                # [N, W, K]
 
     # ---- reduce over fragment slots per window ----
+    # counts fit int16 (<= S + 1 <= 153 per shard, < 2^15 across
+    # shards); the narrow accumulator halves the [B, S, ...] reduce
+    # traffic vs int32 — these reductions are the epilogue's dominant
+    # byte stream
     def red(x):
-        y = x.reshape(B, S, *x.shape[1:]).sum(axis=1)
+        y = x.astype(jnp.int16).reshape(B, S, *x.shape[1:]).sum(
+            axis=1, dtype=jnp.int16
+        )
         if axis_name is not None:
             y = jax.lax.psum(y, axis_name)
-        return y
+        return y.astype(jnp.int32)
 
     onehot = (base[:, :, None] == jnp.arange(4)[None, None, :]) & matched[
         :, :, None
     ]
-    votes_base = red(onehot.astype(jnp.int32))           # [B, W, 4]
-    votes_del = red((cover & ~matched).astype(jnp.int32))  # [B, W]
-    coverage = red(cover.astype(jnp.int32))              # [B, W]
-    n_matched = red(matched.astype(jnp.int32))           # [B, W]
+    votes_base = red(onehot)           # [B, W, 4]
+    votes_del = red(cover & ~matched)  # [B, W]
+    coverage = red(cover)              # [B, W]
+    n_matched = red(matched)           # [B, W]
 
     cand = jnp.concatenate([votes_base, votes_del[:, :, None]], axis=2)
     winner = jnp.argmax(cand, axis=2)                    # [B, W]; 4 == delete
@@ -188,8 +194,8 @@ def consensus_votes(
     col_del = (winner == 4) & ~keep_tpl
 
     # ---- insertion majority per boundary ----
-    votes_bnd = red(has_bnd.astype(jnp.int32))           # [B, W]
-    more = red((ins_count[:, :, None] > k).astype(jnp.int32))  # [B, W, K]
+    votes_bnd = red(has_bnd)           # [B, W]
+    more = red(ins_count[:, :, None] > k)  # [B, W, K]
     stop = votes_bnd[:, :, None] - more
     extend = more > stop                                 # strict majority
     ins_len = jnp.cumprod(extend.astype(jnp.int32), axis=2).sum(axis=2)
@@ -198,7 +204,7 @@ def consensus_votes(
         (ins_codes[:, :, :, None] == jnp.arange(4)[None, None, None, :])
         & ins_valid[:, :, :, None]
     )
-    ins_votes = red(ins_onehot.astype(jnp.int32))        # [B, W, K, 4]
+    ins_votes = red(ins_onehot)        # [B, W, K, 4]
     ins_base = jnp.argmax(ins_votes, axis=3).astype(jnp.int8)
 
     # ---- equal-base-run conservation votes ----
@@ -231,38 +237,36 @@ def consensus_votes(
     def rep(x):
         return jnp.repeat(x, S, axis=0)
 
+    # ONE forward scan carries both run-start values each fragment
+    # needs — i_first[rbeg] and matched[rbeg], packed into one int32 —
+    # and the run-END values need no backward scan at all: evaluated
+    # at an end column j, i_last[rend] == i_last[j] and matched[rend]
+    # == matched[j].  (Replaces four full-width scans.)
     is_start = rep(is_start_w)
-    is_end = rep(is_end_w)
-    fb = _propagate_forward(i_first, is_start, SENT)   # i_first[rbeg]
-    le = _propagate_backward(i_last, is_end, SENT)     # i_last[rend]
-    m_beg = _propagate_forward(matched.astype(jnp.int32), is_start, SENT)
-    m_end = _propagate_backward(matched.astype(jnp.int32), is_end, SENT)
-    anchored = (m_beg == 1) & (m_end == 1)
-    consumed = le - fb + 1
-    deficit = jnp.where(anchored, rep(run_len) - consumed, 0)
-    # every valid run participates: deficits are impossible at
-    # run_len == 1 (consumed >= 1), but single-column surpluses are
-    # real (a deleted base whose context is unique still blurs into
-    # i_first < i_last at that column)
+    pk = _propagate_forward(
+        i_first * 2 + matched.astype(jnp.int32), is_start, SENT
+    )
+    fb = pk >> 1                                         # i_first[rbeg]
+    m_beg = (pk & 1) == 1                                # matched[rbeg]
     at_end = rep(is_end_w & valid_col)
-    anch_end = anchored & at_end
+    anch_end = m_beg & matched & at_end
+    consumed = i_last - fb + 1
+    # deficits are impossible at run_len == 1 (consumed >= 1), but
+    # single-column surpluses are real (a deleted base whose context
+    # is unique still blurs into i_first < i_last at that column)
+    deficit = jnp.where(anch_end, rep(run_len) - consumed, 0)
 
     kk2 = jnp.arange(INS_CAP)[None, None, :]
-    n_anch = red(anch_end.astype(jnp.int32))             # [B, W]
+    n_anch = red(anch_end)                               # [B, W]
     del_more = red(
-        ((deficit[:, :, None] > kk2) & anch_end[:, :, None]).astype(
-            jnp.int32
-        )
+        (deficit[:, :, None] > kk2) & anch_end[:, :, None]
     )
     del_run = jnp.cumprod(
         (del_more > n_anch[:, :, None] - del_more).astype(jnp.int32),
         axis=2,
     ).sum(axis=2)
-    sur = jnp.where(anchored, -deficit, 0)
     ins_more = red(
-        ((sur[:, :, None] > kk2) & anch_end[:, :, None]).astype(
-            jnp.int32
-        )
+        (-deficit[:, :, None] > kk2) & anch_end[:, :, None]
     )
     ins_run = jnp.cumprod(
         (ins_more > n_anch[:, :, None] - ins_more).astype(jnp.int32),
@@ -276,18 +280,19 @@ def consensus_votes(
     del_back = _propagate_backward(del_run, is_end_w, SENT)
     col_del = col_del | ((rend - colw) < del_back)
     # ... and splice ins_run copies of the run base before the
-    # existing insertion at the run's end column
+    # existing insertion at the run's end column: result[k] = run base
+    # for k < ins_run, else ins_base[k - ins_run] — a shift-right by
+    # ins_run via its bit decomposition (static pads/slices; a
+    # take_along_axis gather here serializes on TPU)
     kk3 = jnp.arange(INS_CAP)[None, None, :]
-    src = kk3 - ins_run[:, :, None]
-    shifted = jnp.take_along_axis(
-        ins_base.astype(jnp.int32), jnp.clip(src, 0, INS_CAP - 1),
-        axis=2,
+    irun = ins_run[:, :, None]
+    x = ins_base.astype(jnp.int32)
+    for b in (1, 2, 4, 8):
+        shifted = jnp.pad(x[:, :, :-b], ((0, 0), (0, 0), (b, 0)))
+        x = jnp.where((irun & b) != 0, shifted, x)
+    ins_base = jnp.where(kk3 < irun, tpl32[:, :, None], x).astype(
+        jnp.int8
     )
-    ins_base = jnp.where(
-        kk3 < ins_run[:, :, None],
-        tpl32[:, :, None],
-        jnp.where(src < INS_CAP, shifted, 0),
-    ).astype(jnp.int8)
     ins_len = jnp.clip(ins_len + ins_run, 0, INS_CAP)
 
     # ---- window-edge insertions ----

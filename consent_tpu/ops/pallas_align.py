@@ -45,6 +45,19 @@ TILE_LANES = 128
 DP = jnp.int32
 STAGE_DT = jnp.int16
 
+# Posterior-fold strategy for the banded kernel (experiment knob):
+#   'row'   = per-row full-width accumulators (default),
+#   'group' = band-coordinate group-amortized accumulators,
+#   'none'  = skip the fold entirely (timing ceiling; wrong results).
+# Measured on the chip at [N=1024, Lq=W=512, BW=128] (chain-slope,
+# same process): none 6.85 ms, row 7.98 ms, group 8.14 ms — the whole
+# fold costs ~1.1 ms and the group variant loses ~2% despite touching
+# 4x less data per row (Mosaic schedules the per-row full-width
+# selects well; the group path's partial-width stores + per-group
+# dynamic rolls eat the saving).  Kept for future toolchains.
+import os as _os  # noqa: E402  (knob read at import)
+FOLD_MODE = _os.environ.get("CONSENT_TPU_FOLD", "row")
+
 
 def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
             opt_ref, matched_ref, ifirst_ref, ilast_ref,
@@ -204,6 +217,7 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
                    base_ref, inspack_ref, hm_hbm,
                    rr_ref, qrot_ref, row_buf, dma_sem,
                    h_ref, f_ref, optv_ref,
+                   gany_ref, gif_ref, gil_ref, gb_ref, gp_ref,
                    *, Lq: int, W: int, BW: int, sc: Scoring):
     """Banded variant: DP states live in band coordinates
     (slot b of row i = kernel column chat = i + b - OFF), so
@@ -220,9 +234,16 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
     rotating copies of rhat/q advanced by ONE static roll per UNROLL
     rows; within the group, row u reads a static slice at offset u —
     full-width data movement is amortized 8x (per-row rolls of the
-    [TILE_N, W] buffers dominated the kernel before this).  The
-    posterior fold still updates full-width [TILE_N, W] accumulators
-    (one dynamic roll per row positions the band row)."""
+    [TILE_N, W] buffers dominated the kernel before this).
+
+    The posterior fold accumulates in GROUP band coordinates: a row at
+    group offset p covers group slots [p, p + BW), so its on_path band
+    lands with one STATIC roll by p, and the per-row accumulator
+    updates run at GW = BW + 128 width instead of W.  One dynamic
+    full-width roll per accumulator per GROUP (amortized 8x, like
+    rr/qrot) merges the group into the true-kernel-column outputs —
+    this removes the full-width per-row fold that held the kernel at
+    ~45% of its op-bound roofline (PARITY.md ledger)."""
     match, mismatch = sc.match, sc.mismatch
     open_, ext = sc.gap_open, sc.gap_extend
     TILE_N = q_ref.shape[0]
@@ -257,6 +278,14 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
     UNROLL = (
         8 if (Lq % 8 == 0 and W - BW >= 7 and Lq >= 8 + INS_PACK) else 1
     )
+    # group-coordinate posterior fold: rows of a group cover group
+    # slots [0, BW + UNROLL - 1); GW pads that to a lane multiple.
+    # Needs GW <= W (the group scratches are [TILE_N, W]).
+    GW = BW + 128
+    GROUPED_FOLD = (
+        UNROLL > 1 and GW <= W and FOLD_MODE == "group"
+    )
+    NO_FOLD = FOLD_MODE == "none"  # experiment only: skip the fold
 
     def sub_row(i, p):
         # p = static slot offset of row i in the group-aligned buffers
@@ -345,6 +374,11 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
 
     hm_fetch(Lq - 1, jax.lax.rem(Lq - 1, 2)).start()
     zpad = jnp.zeros((TILE_N, W - BW), jnp.int32) if W > BW else None
+    gpad = (
+        jnp.zeros((TILE_N, GW - BW), jnp.int32) if GROUPED_FOLD else None
+    )
+    if GROUPED_FOLD:
+        gany_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
 
     def bwd_row(i, p):
         slot = jax.lax.rem(i, 2)
@@ -374,28 +408,79 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
             & (hm_row > NEG // 2)
             & pos_opt
         )
-        # position the band row at kernel columns [i-OFF, i+BW-OFF)
-        opb = on_path.astype(jnp.int32)
-        if zpad is not None:
-            opb = jnp.concatenate([opb, zpad], axis=1)
-        opf = pltpu.roll(opb, jax.lax.rem(i - OFF + W, W), axis=1) != 0
-
-        first_seen = opf & (matched_ref[:] == 0)
-        ifirst_ref[:] = jnp.where(opf, i, ifirst_ref[:])
-        ilast_ref[:] = jnp.where(first_seen, i, ilast_ref[:])
         k_in_len = (i + 1 + kins) < qlen           # [TILE_N, INS_PACK]
         qslice = jnp.where(
             k_in_len, qrot_ref[:, p + 1 : p + 1 + INS_PACK], 0
         )
         pack = jnp.sum(qslice * pack_w, axis=1, keepdims=True)
-        base_ref[:] = jnp.where(first_seen, qcol, base_ref[:])
-        inspack_ref[:] = jnp.where(first_seen, pack, inspack_ref[:])
-        matched_ref[:] = jnp.where(opf, 1, matched_ref[:])
+
+        if NO_FOLD:
+            matched_ref[:, :BW] = jnp.where(
+                on_path, 1, matched_ref[:, :BW]
+            )  # keep on_path live; no full fold
+        elif GROUPED_FOLD:
+            # group fold: row at offset p covers group slots [p, p+BW)
+            # — one STATIC roll, GW-wide updates
+            opg = jnp.concatenate(
+                [on_path.astype(jnp.int32), gpad], axis=1
+            )
+            if p:
+                opg = pltpu.roll(opg, p, axis=1)
+            og = opg != 0
+            ga = gany_ref[:, :GW]
+            fs = og & (ga == 0)
+            gif_ref[:, :GW] = jnp.where(og, i, gif_ref[:, :GW])
+            gil_ref[:, :GW] = jnp.where(fs, i, gil_ref[:, :GW])
+            gb_ref[:, :GW] = jnp.where(fs, qcol, gb_ref[:, :GW])
+            gp_ref[:, :GW] = jnp.where(fs, pack, gp_ref[:, :GW])
+            gany_ref[:, :GW] = ga | opg
+        else:
+            # position the band row at kernel columns [i-OFF, i+BW-OFF)
+            opb = on_path.astype(jnp.int32)
+            if zpad is not None:
+                opb = jnp.concatenate([opb, zpad], axis=1)
+            opf = (
+                pltpu.roll(opb, jax.lax.rem(i - OFF + W, W), axis=1) != 0
+            )
+            first_seen = opf & (matched_ref[:] == 0)
+            ifirst_ref[:] = jnp.where(opf, i, ifirst_ref[:])
+            ilast_ref[:] = jnp.where(first_seen, i, ilast_ref[:])
+            base_ref[:] = jnp.where(first_seen, qcol, base_ref[:])
+            inspack_ref[:] = jnp.where(first_seen, pack, inspack_ref[:])
+            matched_ref[:] = jnp.where(opf, 1, matched_ref[:])
 
     def bwd_group(g, _):
         i0 = Lq - 1 - g * UNROLL
         for u in range(UNROLL):
             bwd_row(i0 - u, UNROLL - 1 - u)
+        if GROUPED_FOLD:
+            # merge the group's band-coordinate accumulators into the
+            # kernel-column outputs: slot b of the group = kernel
+            # column iL - OFF + b — ONE dynamic roll per accumulator
+            # per group.  Wrapped columns (chat >= W) carry gany == 0
+            # (on_path is false outside [jlo, jhi)), so the rolls are
+            # wrap-safe.
+            iL = i0 - (UNROLL - 1)
+            sh = jax.lax.rem(iL - OFF + 2 * W, W)
+            anyf = pltpu.roll(gany_ref[:], sh, axis=1) != 0
+            first_seen = anyf & (matched_ref[:] == 0)
+            ifirst_ref[:] = jnp.where(
+                anyf, pltpu.roll(gif_ref[:], sh, axis=1), ifirst_ref[:]
+            )
+            ilast_ref[:] = jnp.where(
+                first_seen, pltpu.roll(gil_ref[:], sh, axis=1),
+                ilast_ref[:],
+            )
+            base_ref[:] = jnp.where(
+                first_seen, pltpu.roll(gb_ref[:], sh, axis=1),
+                base_ref[:],
+            )
+            inspack_ref[:] = jnp.where(
+                first_seen, pltpu.roll(gp_ref[:], sh, axis=1),
+                inspack_ref[:],
+            )
+            matched_ref[:] = jnp.where(anyf, 1, matched_ref[:])
+            gany_ref[:] = jnp.zeros((TILE_N, W), jnp.int32)
         rr_ref[:] = pltpu.roll(rr_ref[:], UNROLL, axis=1)
         qrot_ref[:] = pltpu.roll(qrot_ref[:], UNROLL, axis=1)
         return 0
@@ -503,10 +588,15 @@ def pallas_banded_posterior_summary(
             pltpu.VMEM((TILE_N, BW), DP),                       # h / bh
             pltpu.VMEM((TILE_N, BW), DP),                       # f / bf
             pltpu.VMEM((TILE_N, BW), DP),                       # optv
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gany
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gif
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gil
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gb
+            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gp
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                (6 * TILE_N * W + 2 * TILE_N * Lq + 5 * TILE_N * BW) * 4
+                (11 * TILE_N * W + 2 * TILE_N * Lq + 5 * TILE_N * BW) * 4
                 + 8 * 2 ** 20
             ),
         ),
