@@ -117,3 +117,62 @@ def test_correction_ont_profile():
     print(f"ONT raw {raw_mean:.4f} -> corrected {cor_mean:.4f}")
     assert cor_mean > raw_mean + 0.06
     assert cor_mean > 0.97
+
+
+# ---------------------------------------------------------------------------
+# reference operating point: the reference's own defaults
+# (windowSize=500, windowOverlap=50 — CONSENT-correct:45,50).
+# Full-scale measurements (42 reads, genome 6 kb, scratch/acc_refpoint.py,
+# 2026-08): PB 10% raw 0.9056 -> 0.9958 (sub .0011/ins .0017/del .0014),
+# ONT 12% indel-heavy raw 0.8883 -> 0.9898 (sub .0021/ins .0044/del
+# .0039).  The gates below run a deterministic subset of that workload
+# to keep the suite fast.
+
+
+def _refpoint_run(error_rate, frac_sub, frac_ins, n_piles):
+    genome, reads = simulate.simulate(
+        genome_len=6000, coverage=14.0, read_len=2000,
+        error_rate=error_rate, seed=42, frac_sub=frac_sub,
+        frac_ins=frac_ins,
+    )
+    cfg = correct_preset()  # the reference's 500/50 defaults
+    index = ReadIndex()
+    for r in reads:
+        index.add(r.name, r.codes)
+    piles = simulate.piles_from_sim(reads, cfg.max_support)[:n_piles]
+    results = list(
+        engine.process_piles(iter(piles), index, cfg,
+                             batch_align=host_batch_align)
+    )
+    by_name = {r.name: r for r in reads}
+    raw_ids, cor_ids = [], []
+    for (name, codes, solid) in results:
+        if len(codes) == 0:
+            continue
+        read = by_name[name]
+        truth = truth_of(read, genome)
+        raw_ids.append(metrics.identity(read.codes, truth))
+        cor_ids.append(
+            metrics.error_profile(codes, truth,
+                                  free_truth_ends=True)["identity"]
+        )
+    return float(np.mean(raw_ids)), float(np.mean(cor_ids)), len(cor_ids)
+
+
+def test_refpoint_pb_paper_regime():
+    """PB 10% CLR at the reference's default windowing must reach the
+    paper's ~99%+ post-correction regime (README.md:121)."""
+    raw, cor, n = _refpoint_run(0.10, 1 / 3, 1 / 3, n_piles=12)
+    print(f"refpoint PB raw {raw:.4f} -> corrected {cor:.4f} ({n})")
+    assert n >= 10
+    assert cor > 0.99
+
+
+def test_refpoint_ont_indel_heavy():
+    """ONT 12%, indel-heavy profile, at the reference's defaults —
+    held to near-parity (the reference treats ONT as first-class,
+    CONSENT-correct:187)."""
+    raw, cor, n = _refpoint_run(0.12, 0.2, 0.4, n_piles=12)
+    print(f"refpoint ONT raw {raw:.4f} -> corrected {cor:.4f} ({n})")
+    assert n >= 10
+    assert cor > 0.985
