@@ -131,6 +131,13 @@ def main(genome_len, coverage, read_len, error_rate, out_path):
         "stages": stages,
         "reference_envelope": "~2 min / 4 cores for the same workload "
                               "shape incl. minimap2 (README.md:55)",
+        "host_cores": os.cpu_count(),
+        "notes": "stage seconds are thread-seconds (host stages fan "
+                 "out over --nproc pools and overlap); "
+                 "consensus.device_votes is dominated by the dev-host "
+                 "fetch round trip of the access tunnel, not device "
+                 "throughput (bench.py measures the device hot path "
+                 "at 10x baseline)",
     }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)

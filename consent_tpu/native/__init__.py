@@ -61,6 +61,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.count_kmers.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, i32p
         ]
+        lib.count_kmers_touched.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, i32p, i64p
+        ]
+        lib.count_kmers_touched.restype = ctypes.c_int64
         lib.polish_correction.argtypes = [
             u8p, u8p, ctypes.c_int64, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
@@ -138,6 +142,29 @@ def count_kmers_native(frag_list, k):
     counts = np.zeros(4 ** k, dtype=np.int32)
     lib.count_kmers(blob, lens, offsets, len(frag_list), k, counts)
     return counts
+
+
+def count_kmers_sparse_native(frag_list, k):
+    """Native dense k-mer counting that also returns the sorted
+    distinct k-mers, skipping the 4^k flatnonzero scan; returns
+    (dense, sorted_kmers) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.zeros(4 ** k, dtype=np.int32)
+    if not frag_list:
+        return counts, np.empty(0, dtype=np.int64)
+    lens = np.array([len(f) for f in frag_list], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    blob = np.concatenate(
+        [np.ascontiguousarray(f, dtype=np.uint8) for f in frag_list]
+    ) if lens.sum() else np.zeros(1, np.uint8)
+    cap = int(np.maximum(lens - k + 1, 0).sum())
+    touched = np.empty(max(cap, 1), dtype=np.int64)
+    nt = lib.count_kmers_touched(blob, lens, offsets, len(frag_list),
+                                 k, counts, touched)
+    keys = np.sort(touched[:nt])
+    return counts, keys
 
 
 def local_align_native(q, r, match=2, mismatch=-2, gap_open=3, gap_extend=1):

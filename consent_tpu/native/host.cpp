@@ -62,6 +62,32 @@ void count_kmers(const uint8_t* codes, const int64_t* lens,
     }
 }
 
+// count_kmers + the distinct k-mers actually touched (first-touch
+// record; order unspecified).  Lets the caller build a sparse view
+// without scanning the whole 4^k table — that scan dominated the host
+// post-processing stage (~0.6 ms/window at k=9).  `touched` must hold
+// sum(max(0, len-k+1)) entries; returns the number written.
+int64_t count_kmers_touched(const uint8_t* codes, const int64_t* lens,
+                            const int64_t* offsets, int64_t n_frags,
+                            int k, int32_t* counts /* 4^k, zeroed */,
+                            int64_t* touched) {
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    int64_t nt = 0;
+    for (int64_t f = 0; f < n_frags; f++) {
+        const uint8_t* s = codes + offsets[f];
+        int64_t n = lens[f];
+        if (n < k) continue;
+        uint64_t km = 0;
+        for (int i = 0; i < k; i++) km = (km << 2) | s[i];
+        if (counts[km]++ == 0) touched[nt++] = (int64_t)km;
+        for (int64_t i = k; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            if (counts[km]++ == 0) touched[nt++] = (int64_t)km;
+        }
+    }
+    return nt;
+}
+
 // ---------------------------------------------------------------------------
 // DBG repair (semantics of consent_tpu/core/dbg.py == reference
 // correctionDBG.cpp/DBG.cpp; see the Python module for the behavioral

@@ -159,33 +159,46 @@ class ConsensusEngine:
             pending.append(
                 [sub, S, frags, frag_len, frag_d0, tpl_len, dev]
             )
+        # Per-job chains (fetch -> assemble -> redispatch/post) are
+        # independent; fanning them over the "chain" pool overlaps
+        # each job's device-fetch latency with other jobs' host work —
+        # the fetch round trip, not device throughput, dominates the
+        # wall otherwise.  The inner window fan-out runs on the
+        # separate "work" pool (see utils/hostpool.py on nesting).
+        from consent_tpu.utils.hostpool import host_pool
+
+        pool = host_pool(self.cfg.n_workers, kind="chain")
+        if pool is not None and len(pending) > 1:
+            list(pool.map(lambda p: self._job_chain(*p, rounds),
+                          pending))
+        else:
+            for p in pending:
+                self._job_chain(*p, rounds)
+
+    def _job_chain(self, sub, S, frags, frag_len, frag_d0, tpl_len,
+                   dev, rounds):
         for r in range(rounds):
             last = r == rounds - 1
-            nxt = []
-            for sub, S, frags, frag_len, frag_d0, tpl_len, dev in pending:
-                with STATS.timer("consensus.device_votes", len(sub)):
-                    votes = self._fetch_votes(dev)
-                with STATS.timer("consensus.assemble", len(sub)):
-                    cons_list = cons_ops.assemble_consensus_batch(
-                        votes, tpl_len.tolist()
-                    )
-                if last:
-                    self._host_post(sub, S, cons_list)
-                    continue
-                # next round: consensus becomes the template
-                B = frags.shape[0]
-                new_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
-                new_tlen = np.zeros(B, dtype=np.int32)
-                for b, c in enumerate(cons_list):
-                    L = min(len(c), self.Lt)
-                    new_tpl[b, :L] = c[:L]
-                    new_tlen[b] = L
-                dev2 = self._dispatch(S, frags, frag_len, frag_d0,
-                                      new_tpl, new_tlen)
-                nxt.append(
-                    [sub, S, frags, frag_len, frag_d0, new_tlen, dev2]
+            with STATS.timer("consensus.device_votes", len(sub)):
+                votes = self._fetch_votes(dev)
+            with STATS.timer("consensus.assemble", len(sub)):
+                cons_list = cons_ops.assemble_consensus_batch(
+                    votes, tpl_len.tolist()
                 )
-            pending = nxt
+            if last:
+                self._host_post(sub, S, cons_list)
+                return
+            # next round: consensus becomes the template
+            B = frags.shape[0]
+            new_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
+            new_tlen = np.zeros(B, dtype=np.int32)
+            for b, c in enumerate(cons_list):
+                L = min(len(c), self.Lt)
+                new_tpl[b, :L] = c[:L]
+                new_tlen[b] = L
+            dev = self._dispatch(S, frags, frag_len, frag_d0,
+                                 new_tpl, new_tlen)
+            tpl_len = new_tlen
 
     def _max_b(self, S: int) -> int:
         """Windows per device call for bucket S (multiple of the
@@ -305,9 +318,16 @@ class ConsensusEngine:
 
         cons = cons[: self.Lt]
         use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
-        dense = native.count_kmers_native(use, cfg.mer_size)
-        if dense is None:
+        # native counting also returns the distinct k-mers so the
+        # sparse view skips the 4^k flatnonzero scan (the former host
+        # hot spot: ~0.6 ms/window at k=9)
+        res = native.count_kmers_sparse_native(use, cfg.mer_size)
+        if res is not None:
+            dense, keys = res
+            sparse = SparseCounts(keys, dense[keys].astype(np.int32))
+        else:
             dense = kmer_ops.count_kmers_host(use, cfg.mer_size)
+            sparse = SparseCounts.from_dense(dense)
         # MSA give-up gate (-c/-a): windows with fewer than
         # min_anchors anchor k-mers keep the raw template,
         # unweighted and unpolished (correctionMSA.cpp:31-36
@@ -324,7 +344,7 @@ class ConsensusEngine:
             tpl_f = np.asarray(t.frags[0], dtype=np.uint8)
             t.consensus = tpl_f
             t.solid = np.ones(len(tpl_f), dtype=bool)
-            t.counts = SparseCounts.from_dense(dense)
+            t.counts = sparse
             return
         if len(cons) >= cfg.mer_size:
             solid = kmer_ops.solidity_mask(
@@ -347,7 +367,7 @@ class ConsensusEngine:
             solid = np.zeros(len(cons), dtype=bool)
         t.consensus = cons
         t.solid = solid
-        t.counts = SparseCounts.from_dense(dense)
+        t.counts = sparse
 
 
 def windows_of_pile(pile: Pile, read_index, cfg: ConsentConfig,
@@ -396,12 +416,27 @@ def process_piles(
     chunk: List[Pile] = []
 
     def flush(chunk: List[Pile]):
+        from consent_tpu.utils.hostpool import host_pool
+
         all_tasks: List[WindowTask] = []
         per_read: List[Optional[List[WindowTask]]] = []
         with STATS.timer("windows.geometry", len(chunk)):
-            for key, pile in enumerate(chunk):
-                tasks = windows_of_pile(pile, read_index, cfg, key)
-                per_read.append(tasks)
+            pool = host_pool(cfg.n_workers, kind="work")
+            if pool is not None and len(chunk) >= 8:
+                per_read = list(
+                    pool.map(
+                        lambda kp: windows_of_pile(
+                            kp[1], read_index, cfg, kp[0]
+                        ),
+                        enumerate(chunk),
+                    )
+                )
+            else:
+                per_read = [
+                    windows_of_pile(pile, read_index, cfg, key)
+                    for key, pile in enumerate(chunk)
+                ]
+            for tasks in per_read:
                 if tasks:
                     all_tasks.extend(tasks)
         STATS.add("windows.total", len(all_tasks))

@@ -20,14 +20,21 @@ from typing import Optional
 _POOLS: dict = {}
 
 
-def host_pool(n_workers: Optional[int]) -> Optional[ThreadPoolExecutor]:
+def host_pool(n_workers: Optional[int],
+              kind: str = "work") -> Optional[ThreadPoolExecutor]:
     """The shared pool for `n_workers` threads (None = os.cpu_count());
-    returns None when a pool would not help (n_workers <= 1)."""
+    returns None when a pool would not help (n_workers <= 1).
+
+    `kind` keys separate pools: a task running ON one pool must not
+    fan out onto the SAME pool (all workers could be occupied by
+    outer tasks waiting on their own inner map — deadlock), so nested
+    stages use a different kind (e.g. the engine's per-job chains run
+    on "chain" while their inner window fan-outs run on "work")."""
     n = n_workers if n_workers and n_workers > 0 else (os.cpu_count() or 1)
     if n <= 1:
         return None
-    pool = _POOLS.get(n)
+    pool = _POOLS.get((n, kind))
     if pool is None:
         pool = ThreadPoolExecutor(max_workers=n)
-        _POOLS[n] = pool
+        _POOLS[(n, kind)] = pool
     return pool
