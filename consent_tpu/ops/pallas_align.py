@@ -31,7 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from consent_tpu.ops.align import INS_PACK, NEG, PosteriorSummary, Scoring
 
-TILE_LANES = 128
+# Lanes per program.  Swept on-chip at the consensus shapes
+# [N=1024, Lq=W=512, BW=128] (chain-slope, median of 3):
+#   TILE_N  64: 13.11 ms   128: 7.72 ms   256: 5.73 ms   512: 5.62 ms
+# 256 takes the 26% win over 128 (fewer per-row loop/DMA overheads per
+# lane, fuller VPU); 512 adds <2% for 2x the VMEM and 2x the padding
+# floor on small batches.
+TILE_LANES = 256
 
 # DP-state element type.  Scores fit int16 by construction (NEG =
 # -2^14, max score ~1K; the XLA fallback in ops/align.py runs int16),
