@@ -65,6 +65,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, i32p, i64p
         ]
         lib.count_kmers_touched.restype = ctypes.c_int64
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.host_post_window.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64,
+            u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            i32p, i64p, i64p,
+            u8p, u8p, ctypes.c_int64, i32p,
+        ]
+        lib.host_post_window.restype = ctypes.c_int64
+        lib.assemble_windows.argtypes = [
+            i8p, i8p, u8p, i32p, i32p, i32p, i32p, i32p,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_int64, i64p,
+        ]
+        lib.assemble_windows.restype = ctypes.c_int64
         lib.polish_correction.argtypes = [
             u8p, u8p, ctypes.c_int64, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
@@ -165,6 +181,71 @@ def count_kmers_sparse_native(frag_list, k):
                                  k, counts, touched)
     keys = np.sort(touched[:nt])
     return counts, keys
+
+
+def host_post_window_native(frag_list, cons, k, solid_thresh,
+                            max_branches, zone, min_anchors,
+                            bmean_sup):
+    """Whole per-window host post chain in ONE native call (counts,
+    anchor gate, solidity, DBG polish); returns (codes, solid,
+    SparseCounts) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not frag_list:
+        return None
+    from consent_tpu.core.sparse_counts import SparseCounts
+
+    lens = np.array([len(f) for f in frag_list], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    blob = np.concatenate(
+        [np.ascontiguousarray(f, dtype=np.uint8) for f in frag_list]
+    ) if lens.sum() else np.zeros(1, np.uint8)
+    cons = np.ascontiguousarray(cons, dtype=np.uint8)
+    dense = np.zeros(4 ** k, dtype=np.int32)
+    cap = int(np.maximum(lens - k + 1, 0).sum())
+    touched = np.empty(max(cap, 1), dtype=np.int64)
+    nt = np.zeros(1, dtype=np.int64)
+    out_cap = 2 * max(len(cons), int(lens[0])) + 256
+    out_c = np.empty(out_cap, dtype=np.uint8)
+    out_s = np.empty(out_cap, dtype=np.uint8)
+    status = np.zeros(1, dtype=np.int32)
+    n = lib.host_post_window(
+        blob, lens, offsets, len(frag_list), cons, len(cons),
+        k, solid_thresh, max_branches, zone, min_anchors, bmean_sup,
+        dense, touched, nt, out_c, out_s, out_cap, status,
+    )
+    if n < 0:
+        return None
+    keys = np.sort(touched[: nt[0]])
+    sparse = SparseCounts(keys, dense[keys].astype(np.int32))
+    return out_c[:n].copy(), out_s[:n].astype(bool), sparse
+
+
+def assemble_windows_native(col_base, col_del, ins_len, ins_pack,
+                            pre_len, pre_pack, suf_len, suf_pack,
+                            w_lens):
+    """Batch consensus assembly (assemble_consensus_batch fast path);
+    returns a list of uint8 arrays or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cb = np.ascontiguousarray(col_base, dtype=np.int8)
+    B, W = cb.shape
+    cd = np.ascontiguousarray(col_del, dtype=np.int8)
+    il = np.ascontiguousarray(ins_len, dtype=np.uint8)
+    ip = np.ascontiguousarray(ins_pack, dtype=np.int32)
+    wl = np.ascontiguousarray(w_lens, dtype=np.int32)
+    pl = np.ascontiguousarray(pre_len, dtype=np.int32)
+    pp = np.ascontiguousarray(pre_pack, dtype=np.int32)
+    sl = np.ascontiguousarray(suf_len, dtype=np.int32)
+    sp = np.ascontiguousarray(suf_pack, dtype=np.int32)
+    cap = int((np.minimum(wl, W) * 17).sum() + 32 * B + 64)
+    out = np.empty(cap, dtype=np.uint8)
+    offs = np.empty(B + 1, dtype=np.int64)
+    n = lib.assemble_windows(cb, cd, il, ip, pl, pp, sl, sp, wl,
+                             B, W, out, cap, offs)
+    if n < 0:
+        return None
+    return [out[offs[b] : offs[b + 1]] for b in range(B)]
 
 
 def local_align_native(q, r, match=2, mismatch=-2, gap_open=3, gap_extend=1):

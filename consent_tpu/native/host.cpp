@@ -568,3 +568,123 @@ extern "C" int64_t count_anchors(const uint8_t* codes, const int64_t* lens,
     generation++;
     return n_anchors;
 }
+
+// ---------------------------------------------------------------------------
+// consolidated per-window host post chain + batch consensus assembly
+//
+// One ctypes call per window (resp. per batch) instead of ~6: the
+// Python/ctypes/numpy glue between the tiny native stages dominated
+// consensus.kmer_dbg under the 2-core host pools.
+
+extern "C" {
+
+// Whole host post chain of one window: k-mer counts (+ distinct-kmer
+// record) -> anchor give-up gate (correctionMSA.cpp:31-36) ->
+// solidity case channel (weightConsensus, correctionMSA.cpp:6-27) ->
+// DBG polish (correctionDBG.cpp:93-205).
+//
+// frags: template-first fragment blob.  dense: 4^k int32, caller-
+// zeroed.  touched: distinct-kmer out array (cap sum(len-k+1)).
+// status out: 0 polished, 1 anchor-gate template fallback (all-solid
+// template copied out), 2 consensus shorter than k (all-weak copy).
+// Returns the output length, or -1 if out_cap is too small.
+int64_t host_post_window(
+    const uint8_t* frag_blob, const int64_t* lens,
+    const int64_t* offsets, int64_t n_frags,
+    const uint8_t* cons, int64_t cons_len,
+    int k, int solid_thresh, int max_branches, int zone,
+    int min_anchors, int bmean_sup,
+    int32_t* dense, int64_t* touched, int64_t* n_touched,
+    uint8_t* out_codes, uint8_t* out_solid, int64_t out_cap,
+    int32_t* status) {
+    *n_touched = count_kmers_touched(frag_blob, lens, offsets, n_frags,
+                                     k, dense, touched);
+    int64_t n_anch = count_anchors(frag_blob, lens, offsets, n_frags,
+                                   k, bmean_sup);
+    if (n_anch < min_anchors) {
+        // template fallback, all-solid (reference returns piles[0],
+        // an uppercase string)
+        int64_t tn = lens[0];
+        if (tn > out_cap) return -1;
+        memcpy(out_codes, frag_blob + offsets[0], tn);
+        memset(out_solid, 1, tn);
+        *status = 1;
+        return tn;
+    }
+    if (cons_len < k) {
+        if (cons_len > out_cap) return -1;
+        memcpy(out_codes, cons, cons_len);
+        memset(out_solid, 0, cons_len);
+        *status = 2;
+        return cons_len;
+    }
+    // solidity mask: mask[p] = solid(kmer starting at min(p, L-k))
+    std::vector<uint8_t> solid(cons_len);
+    {
+        const uint64_t mask = (k >= 32) ? ~0ULL
+                                        : ((1ULL << (2 * k)) - 1);
+        uint64_t km = 0;
+        for (int i = 0; i < k - 1; i++) km = (km << 2) | cons[i];
+        for (int64_t p = 0; p + k <= cons_len; p++) {
+            km = ((km << 2) | cons[p + k - 1]) & mask;
+            solid[p] = dense[km] >= solid_thresh;
+        }
+        for (int64_t p = cons_len - k + 1; p < cons_len; p++)
+            solid[p] = solid[cons_len - k];
+    }
+    *status = 0;
+    return polish_correction(cons, solid.data(), cons_len, dense, k,
+                             solid_thresh, max_branches, zone,
+                             out_codes, out_solid, out_cap);
+}
+
+// Batch consensus assembly from the wire-format packed votes
+// (ops/consensus.py assemble_consensus_batch semantics).  Two-pass:
+// offsets out in out_offsets[B+1]; returns total bytes, or -1 if
+// out_cap is too small.
+int64_t assemble_windows(
+    const int8_t* col_base, const int8_t* col_del,
+    const uint8_t* ins_len, const int32_t* ins_pack,
+    const int32_t* pre_len, const int32_t* pre_pack,
+    const int32_t* suf_len, const int32_t* suf_pack,
+    const int32_t* w_lens, int64_t B, int64_t W,
+    uint8_t* out, int64_t out_cap, int64_t* out_offsets) {
+    int64_t total = 0;
+    for (int64_t b = 0; b < B; b++) {
+        out_offsets[b] = total;
+        int64_t wl = w_lens[b];
+        const int8_t* cd = col_del + b * W;
+        const uint8_t* il = ins_len + b * W;
+        int64_t n = pre_len[b] + suf_len[b];
+        for (int64_t j = 0; j < wl; j++) n += (cd[j] ? 0 : 1) + il[j];
+        total += n;
+    }
+    out_offsets[B] = total;
+    if (total > out_cap) return -1;
+    for (int64_t b = 0; b < B; b++) {
+        uint8_t* o = out + out_offsets[b];
+        int64_t wl = w_lens[b];
+        const int8_t* cb = col_base + b * W;
+        const int8_t* cd = col_del + b * W;
+        const uint8_t* il = ins_len + b * W;
+        const int32_t* ip = ins_pack + b * W;
+        // prefix: offsets count outward from column 0 -> reversed
+        int32_t pl = pre_len[b];
+        uint32_t pp = (uint32_t)pre_pack[b];
+        for (int32_t t = pl - 1; t >= 0; t--)
+            *o++ = (pp >> (2 * t)) & 3;
+        for (int64_t j = 0; j < wl; j++) {
+            if (!cd[j]) *o++ = (uint8_t)cb[j];
+            uint32_t pk = (uint32_t)ip[j];
+            for (int32_t t = 0; t < (int32_t)il[j]; t++)
+                *o++ = (pk >> (2 * t)) & 3;
+        }
+        int32_t sl = suf_len[b];
+        uint32_t sp = (uint32_t)suf_pack[b];
+        for (int32_t t = 0; t < sl; t++)
+            *o++ = (sp >> (2 * t)) & 3;
+    }
+    return total;
+}
+
+}  // extern "C"

@@ -590,6 +590,15 @@ def assemble_consensus_batch(votes, w_lens) -> list:
     after j, then the suffix insertion.  Accepts WindowVotes or the
     wire-format PackedVotes."""
     if isinstance(votes, PackedVotes):
+        from consent_tpu import native
+
+        fast = native.assemble_windows_native(
+            votes.col_base, votes.col_del, votes.ins_len,
+            votes.ins_pack, votes.pre_len, votes.pre_pack,
+            votes.suf_len, votes.suf_pack, list(w_lens),
+        )
+        if fast is not None:
+            return fast
         votes = unpack_votes_host(votes)
     col_base = np.asarray(votes.col_base)
     col_del = np.asarray(votes.col_del)

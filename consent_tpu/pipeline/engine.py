@@ -167,7 +167,13 @@ class ConsensusEngine:
         # separate "work" pool (see utils/hostpool.py on nesting).
         from consent_tpu.utils.hostpool import host_pool
 
-        pool = host_pool(self.cfg.n_workers, kind="chain")
+        # chains spend most of their time BLOCKED on the device fetch
+        # (GIL released), so the chain pool exceeds the core count —
+        # more in-flight fetches, same CPU footprint
+        import os as _os
+
+        n_chain = max(4, self.cfg.n_workers or _os.cpu_count() or 1)
+        pool = host_pool(n_chain, kind="chain")
         if pool is not None and len(pending) > 1:
             list(pool.map(lambda p: self._job_chain(*p, rounds),
                           pending))
@@ -318,6 +324,18 @@ class ConsensusEngine:
 
         cons = cons[: self.Lt]
         use = t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+        # fast path: the WHOLE post chain (counts, anchor gate,
+        # solidity, DBG polish) in one native call — the Python/ctypes
+        # glue between the individual native stages dominated this
+        # stage under the host pools
+        one = native.host_post_window_native(
+            use, cons, cfg.mer_size, cfg.solid_thresh,
+            cfg.max_branches, cfg.dbg_zone, cfg.min_anchors,
+            min(cfg.common_kmers, len(use) // 2),
+        )
+        if one is not None:
+            t.consensus, t.solid, t.counts = one
+            return
         # native counting also returns the distinct k-mers so the
         # sparse view skips the 4^k flatnonzero scan (the former host
         # hot spot: ~0.6 ms/window at k=9)
@@ -415,7 +433,10 @@ def process_piles(
 
     chunk: List[Pile] = []
 
-    def flush(chunk: List[Pile]):
+    def consensus_stage(chunk: List[Pile]):
+        """Chunk stage 1: window geometry + device consensus + host
+        post.  Returns per_read task lists; runs on the pipeline
+        thread so chunk k+1's consensus overlaps chunk k's stitch."""
         from consent_tpu.utils.hostpool import host_pool
 
         all_tasks: List[WindowTask] = []
@@ -441,7 +462,9 @@ def process_piles(
                     all_tasks.extend(tasks)
         STATS.add("windows.total", len(all_tasks))
         engine.run(all_tasks)
+        return per_read
 
+    def stitch_stage(chunk: List[Pile], per_read):
         jobs: List[Optional[stitch_mod.StitchJob]] = []
         for key, pile in enumerate(chunk):
             tasks = per_read[key]
@@ -478,10 +501,32 @@ def process_piles(
                     codes, solid = codes[:0], solid[:0]
             yield pile.q_name, codes, solid
 
-    for pile in piles:
-        chunk.append(pile)
-        if len(chunk) >= chunk_reads:
-            yield from flush(chunk)
-            chunk = []
-    if chunk:
-        yield from flush(chunk)
+    # chunk-level software pipeline: the next chunk's consensus stage
+    # (device-heavy) runs on one background thread while the current
+    # chunk's stitch stage (device + host) drains — output order is
+    # unchanged because chunks are consumed and yielded in order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def chunks():
+        buf: List[Pile] = []
+        for pile in piles:
+            buf.append(pile)
+            if len(buf) >= chunk_reads:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    it = chunks()
+    first = next(it, None)
+    if first is None:
+        return
+    with ThreadPoolExecutor(max_workers=1) as pipe:
+        fut = pipe.submit(consensus_stage, first)
+        cur = first
+        for nxt in it:
+            per_read = fut.result()
+            fut = pipe.submit(consensus_stage, nxt)
+            yield from stitch_stage(cur, per_read)
+            cur = nxt
+        yield from stitch_stage(cur, fut.result())

@@ -71,3 +71,98 @@ def test_polish_native_head_tail():
     na = native.polish_correction_native(codes, solid, counts, k, 4)
     assert np.array_equal(py[0], na[0])
     assert np.array_equal(py[1], na[1])
+
+
+def test_assemble_windows_native_matches_python():
+    from consent_tpu import native
+    from consent_tpu.ops import consensus as cons_ops
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    B, W, K = 17, 256, cons_ops.INS_CAP
+    p = cons_ops.PackedVotes(
+        col_base=rng.integers(0, 4, (B, W)).astype(np.int8),
+        col_del=(rng.random((B, W)) < 0.1).astype(np.int8),
+        ins_len=rng.integers(0, K + 1, (B, W)).astype(np.uint8)
+        * (rng.random((B, W)) < 0.15),
+        ins_pack=rng.integers(-(2 ** 31), 2 ** 31 - 1, (B, W)).astype(
+            np.int64
+        ).astype(np.int32),
+        pre_len=rng.integers(0, K + 1, B).astype(np.int32),
+        pre_pack=rng.integers(0, 2 ** 31 - 1, B).astype(np.int32),
+        suf_len=rng.integers(0, K + 1, B).astype(np.int32),
+        suf_pack=rng.integers(0, 2 ** 31 - 1, B).astype(np.int32),
+    )
+    w_lens = rng.integers(1, W + 1, B).tolist()
+    got = native.assemble_windows_native(
+        p.col_base, p.col_del, p.ins_len, p.ins_pack, p.pre_len,
+        p.pre_pack, p.suf_len, p.suf_pack, w_lens,
+    )
+    want = cons_ops.assemble_consensus_batch(
+        cons_ops.unpack_votes_host(p), w_lens
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_host_post_window_native_matches_python(seed=5):
+    """The consolidated native post chain must reproduce the Python
+    stage composition (counts -> anchor gate -> solidity -> polish)
+    byte for byte."""
+    from consent_tpu import native
+    from consent_tpu.core import dbg as dbg_mod
+    from consent_tpu.core.sparse_counts import SparseCounts
+    from consent_tpu.ops import kmer as kmer_ops
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    k, solid_thresh, max_branches, zone = 9, 4, 50, 3
+    for case in range(40):
+        tpl = rng.integers(0, 4, int(rng.integers(30, 400))).astype(
+            np.uint8
+        )
+        n_frags = int(rng.integers(1, 12))
+        frags = [tpl]
+        for _ in range(n_frags - 1):
+            f = tpl.copy()
+            pos = rng.integers(0, len(f), max(1, len(f) // 10))
+            f[pos] = (f[pos] + 1 + rng.integers(0, 3, len(pos))) % 4
+            frags.append(f)
+        cons = tpl.copy()
+        if len(cons) > 20:
+            pos = rng.integers(0, len(cons), len(cons) // 15 + 1)
+            cons[pos] = (cons[pos] + 1) % 4
+        min_anchors = int(rng.integers(1, 4))
+        bmean_sup = min(8, len(frags) // 2)
+
+        got = native.host_post_window_native(
+            frags, cons, k, solid_thresh, max_branches, zone,
+            min_anchors, bmean_sup,
+        )
+        assert got is not None
+        g_codes, g_solid, g_sparse = got
+
+        # python composition (mirrors engine._host_post_one fallback)
+        dense = kmer_ops.count_kmers_host(frags, k)
+        n_anch = kmer_ops.count_anchors_host(frags, k, bmean_sup)
+        if n_anch < min_anchors:
+            w_codes = np.asarray(frags[0], dtype=np.uint8)
+            w_solid = np.ones(len(w_codes), dtype=bool)
+        elif len(cons) >= k:
+            solid = kmer_ops.solidity_mask(cons, dense, k, solid_thresh)
+            w_codes, w_solid = dbg_mod.polish_correction(
+                cons, solid, dense, k, solid_thresh, max_branches, zone
+            )
+        else:
+            w_codes, w_solid = cons, np.zeros(len(cons), dtype=bool)
+        w_sparse = SparseCounts.from_dense(dense)
+
+        assert np.array_equal(g_codes, w_codes), f"case {case} codes"
+        assert np.array_equal(g_solid, w_solid), f"case {case} solid"
+        assert np.array_equal(g_sparse.kmers, w_sparse.kmers)
+        assert np.array_equal(g_sparse.counts, w_sparse.counts)
