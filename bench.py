@@ -82,32 +82,54 @@ def main():
                 getattr(want, name))
             assert np.array_equal(a, b), f"Pallas!=XLA on {name}"
 
-    def chain(k, fr):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("rounds",))
+    def fused(fr, rounds):
+        v, w_len = cons_ops.consensus_votes_rounds(
+            fr, fl_d, tpl_d, tl_d, S=S, rounds=rounds,
+            min_column_support=2, scoring=scoring,
+        )
+        return v, w_len
+
+    def chain(k, fr, rounds=1):
         out = None
         for _ in range(k):
-            out = cons_ops.consensus_votes(
-                fr, fl_d, tpl_d, tl_d, S=S, min_column_support=2,
-                scoring=scoring,
-            )
+            if rounds == 1:
+                out = cons_ops.consensus_votes(
+                    fr, fl_d, tpl_d, tl_d, S=S, min_column_support=2,
+                    scoring=scoring,
+                )
+                col = out.col_base
+            else:
+                out, _ = fused(fr, rounds)
+                col = out.col_base
             # data dependency so calls can't overlap or be elided
-            fr = (fr + out.col_base[:, None, :].astype(jnp.uint8)) % 4
-        return jax.device_get(out.coverage).sum()
+            fr = (fr + col[:, None, :].astype(jnp.uint8)) % 4
+        return jax.device_get(out.col_base).sum()
 
-    chain(1, frags_d)  # compile
-    chain(4, frags_d)  # warm
-    per_calls = []
-    for _ in range(3):  # repeated chain-slope measurements
-        t0 = time.perf_counter()
-        chain(1, frags_d)
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain(4, frags_d)
-        t4 = time.perf_counter() - t0
-        per_calls.append(max(1e-9, (t4 - t1) / 3))
+    def slope(rounds):
+        chain(1, frags_d, rounds)  # compile
+        chain(4, frags_d, rounds)  # warm
+        per_calls = []
+        for _ in range(3):  # repeated chain-slope measurements
+            t0 = time.perf_counter()
+            chain(1, frags_d, rounds)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            chain(4, frags_d, rounds)
+            t4 = time.perf_counter() - t0
+            per_calls.append(max(1e-9, (t4 - t1) / 3))
+        return per_calls
+
+    per_calls = slope(1)
     per_call = float(np.median(per_calls))
-
     wps = B / per_call
-    rounds = 2  # config.py consensus_rounds default: 2 calls/window
+    # the production composite: consensus_rounds=2 runs FUSED in one
+    # dispatch (engine.py); measure that executable, not value/2
+    fused_calls = slope(2)
+    fused_call = float(np.median(fused_calls))
+    wps2 = B / fused_call
     print(
         json.dumps(
             {
@@ -118,7 +140,11 @@ def main():
                 "n_reps": len(per_calls),
                 "min_ms_per_call": round(min(per_calls) * 1e3, 3),
                 "median_ms_per_call": round(per_call * 1e3, 3),
-                "rounds2_windows_per_s": round(wps / rounds, 2),
+                "rounds2_windows_per_s": round(wps2, 2),
+                "rounds2_vs_baseline": round(
+                    wps2 / BASELINE_WINDOWS_PER_S, 3
+                ),
+                "rounds2_ms_per_call": round(fused_call * 1e3, 3),
             }
         )
     )

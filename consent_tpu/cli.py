@@ -184,10 +184,13 @@ def main_correct(argv=None) -> int:
         index.add_file(args.proof)
         cfg = _dc.replace(cfg, trim=False)
     piles = _correct_pile_stream(args, index)
-    n_in, n_out = _drive(piles, index, cfg, args, "consent-correct")
+    n_in, n_out, n_quar = _drive(piles, index, cfg, args,
+                                 "consent-correct")
     print(f"[consent-correct] {n_out}/{n_in} reads corrected -> {args.out}",
           file=sys.stderr)
-    return 0
+    # quarantined chunks mean reads are missing from the output —
+    # exit non-zero so downstream pipelines can detect the truncation
+    return 1 if n_quar else 0
 
 
 CHUNK_PILES = 256
@@ -231,6 +234,7 @@ def _drive(piles, index, cfg, args, label):
         out_path = args.out
 
     n_in = n_out = 0
+    n_quarantined = 0
 
     def results():
         """Per input pile: (header, decoded seq), or None if dropped."""
@@ -324,6 +328,10 @@ def _drive(piles, index, cfg, args, label):
             store.assemble(out_path)
             quarantined = store.quarantined_chunks()
             if quarantined:
+                # incomplete output must be machine-detectable: the
+                # drivers exit non-zero when chunks are missing (a
+                # --resume rerun retries exactly these chunks)
+                n_quarantined = len(quarantined)
                 print(
                     f"[{label}] WARNING: {len(quarantined)} chunk(s) "
                     f"quarantined and missing from {out_path}: "
@@ -337,7 +345,7 @@ def _drive(piles, index, cfg, args, label):
                         write_fasta_record(out, *item)
     if args.stats:
         GLOBAL_STATS.report()
-    return n_in, n_out
+    return n_in, n_out, n_quarantined
 
 
 def _polish_pile_stream(args, contig_index, read_index):
@@ -394,10 +402,11 @@ def main_polish(argv=None) -> int:
         merged.add(n, read_index[n])
 
     piles = _polish_pile_stream(args, contig_index, read_index)
-    n_in, n_out = _drive(piles, merged, cfg, args, "consent-polish")
+    n_in, n_out, n_quar = _drive(piles, merged, cfg, args,
+                                 "consent-polish")
     print(f"[consent-polish] {n_out}/{n_in} contigs polished -> {args.out}",
           file=sys.stderr)
-    return 0
+    return 1 if n_quar else 0
 
 
 if __name__ == "__main__":

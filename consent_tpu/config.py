@@ -49,9 +49,11 @@ class ConsentConfig:
     # Large calls amortize per-call dispatch/fetch latency (each window
     # round-trips its packed votes to the host exactly once).
     device_lanes: int = 4096
-    # Alignment scoring (stitch mirrors the reference's SSW defaults:
-    # match=2, mismatch=-2, gap_open=3, gap_extend=1; reference:
-    # correctionAlignment.cpp:48 StripedSmithWaterman::Aligner()).
+    # Scoring of the device CONSENSUS aligner (realign-vote; tuned for
+    # CLR error profiles, no reference equivalent — the reference's
+    # consensus is SPOA inside BMEAN).  The stitcher does NOT use
+    # these: it has its own STITCH_SCORING mirroring the reference's
+    # SSW defaults (pipeline/stitch.py:34, correctionAlignment.cpp:48).
     match_score: int = 2
     mismatch_score: int = -4
     gap_open: int = 4
@@ -113,6 +115,14 @@ class ConsentConfig:
             raise ValueError("device_lanes must be >= 1")
         if self.max_branches < 0 or self.dbg_zone < 0:
             raise ValueError("max_branches/dbg_zone must be >= 0")
+        if self.max_msa >= 30000:
+            # the device vote reductions accumulate per-column counts
+            # in int16 (ops/consensus.py red()); counts are bounded by
+            # the fragment-slot cap max_msa + 1, so -M must stay well
+            # under 2^15 or the accumulator silently overflows
+            raise ValueError(
+                "max_msa must be < 30000 (int16 vote accumulators)"
+            )
         return self
 
 

@@ -118,6 +118,42 @@ def iter_piles(f: TextIO, max_support: int) -> Iterator[Pile]:
         yield finish()
 
 
+def format_paf_line(q_name: str, t_name: str, row) -> str:
+    """Inverse of parse_line: one OVERLAP_DTYPE row back to a
+    12-column PAF line (inclusive ends re-widened to minimap2's
+    one-past-the-end convention)."""
+    return "\t".join(
+        str(x)
+        for x in (
+            q_name,
+            int(row["q_len"]),
+            int(row["q_start"]),
+            int(row["q_end"]) + 1,
+            "-" if row["strand"] else "+",
+            t_name,
+            int(row["t_len"]),
+            int(row["t_start"]),
+            int(row["t_end"]) + 1,
+            int(row["matches"]),
+            int(row["block_len"]),
+            int(row["mapq"]),
+        )
+    )
+
+
+def write_piles_paf(piles, path: str, swap: bool = False) -> None:
+    """Serialize piles to a PAF file (testing / interop helper).
+    swap=True writes each overlap with query and target exchanged
+    (undoing reformat_line — e.g. to fabricate the raw read-vs-contig
+    PAF that minimap2 would emit before the polish sort+reformat
+    chain)."""
+    with open(path, "w") as f:
+        for pile in piles:
+            for t_name, row in zip(pile.t_names, pile.ov):
+                line = format_paf_line(pile.q_name, t_name, row)
+                f.write((reformat_line(line) if swap else line) + "\n")
+
+
 def reformat_line(line: str) -> str:
     """Swap query<->target column groups (cols 0-3 <-> 5-8), keeping the
     strand column — reference bin/reformatPAF (src/reformatPAF.cpp:22-33)."""

@@ -75,6 +75,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, u8p, ctypes.c_int64, i32p,
         ]
         lib.host_post_window.restype = ctypes.c_int64
+        lib.host_post_batch.argtypes = [
+            u8p, i64p, i64p, i64p, ctypes.c_int64,
+            u8p, i64p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i32p,
+            u8p, u8p, ctypes.c_int64, i64p,
+            i64p, i32p, ctypes.c_int64, i64p,
+            i32p,
+        ]
+        lib.host_post_batch.restype = ctypes.c_int64
         lib.assemble_windows.argtypes = [
             i8p, i8p, u8p, i32p, i32p, i32p, i32p, i32p,
             i32p, ctypes.c_int64, ctypes.c_int64,
@@ -218,6 +228,90 @@ def host_post_window_native(frag_list, cons, k, solid_thresh,
     keys = np.sort(touched[: nt[0]])
     sparse = SparseCounts(keys, dense[keys].astype(np.int32))
     return out_c[:n].copy(), out_s[:n].astype(bool), sparse
+
+
+def host_post_batch_native(frag_lists, cons_list, bmean_sups, k,
+                           solid_thresh, max_branches, zone,
+                           min_anchors):
+    """Whole host post chain for MANY windows in ONE native call
+    (host.cpp host_post_batch); returns a list of (codes, solid,
+    SparseCounts) or None if the library is unavailable.  Per-window
+    results are byte-identical to host_post_window_native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from consent_tpu.core.sparse_counts import SparseCounts
+
+    n_win = len(frag_lists)
+    win_frag_off = np.zeros(n_win + 1, dtype=np.int64)
+    all_frags = []
+    for w, fl in enumerate(frag_lists):
+        all_frags.extend(fl)
+        win_frag_off[w + 1] = len(all_frags)
+    lens = np.array([len(f) for f in all_frags], dtype=np.int64)
+    if len(lens) == 0:
+        lens = np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    if len(lens):
+        offsets[1:] = np.cumsum(lens)[:-1]
+    blob = (
+        np.concatenate(
+            [np.ascontiguousarray(f, dtype=np.uint8) for f in all_frags]
+        )
+        if lens.sum()
+        else np.zeros(1, np.uint8)
+    )
+    cons_off = np.zeros(n_win + 1, dtype=np.int64)
+    for w, c in enumerate(cons_list):
+        cons_off[w + 1] = cons_off[w] + len(c)
+    cons_blob = (
+        np.concatenate(
+            [np.ascontiguousarray(c, dtype=np.uint8) for c in cons_list]
+        )
+        if cons_off[-1]
+        else np.zeros(1, np.uint8)
+    )
+    sup = np.asarray(bmean_sups, dtype=np.int32)
+
+    keys_cap = int(np.maximum(lens - k + 1, 0).sum())
+    out_cap = 0
+    for w in range(n_win):
+        tpl_len = int(lens[win_frag_off[w]]) if (
+            win_frag_off[w + 1] > win_frag_off[w]
+        ) else 0
+        out_cap += 2 * max(len(cons_list[w]), tpl_len) + 256
+    out_c = np.empty(max(out_cap, 1), dtype=np.uint8)
+    out_s = np.empty(max(out_cap, 1), dtype=np.uint8)
+    out_off = np.zeros(n_win + 1, dtype=np.int64)
+    keys = np.empty(max(keys_cap, 1), dtype=np.int64)
+    vals = np.empty(max(keys_cap, 1), dtype=np.int32)
+    keys_off = np.zeros(n_win + 1, dtype=np.int64)
+    status = np.zeros(max(n_win, 1), dtype=np.int32)
+
+    n = lib.host_post_batch(
+        blob, lens if len(lens) else np.zeros(1, np.int64),
+        offsets if len(offsets) else np.zeros(1, np.int64),
+        win_frag_off, n_win,
+        cons_blob, cons_off,
+        k, solid_thresh, max_branches, zone, min_anchors, sup,
+        out_c, out_s, out_cap, out_off,
+        keys, vals, max(keys_cap, 1), keys_off,
+        status,
+    )
+    if n < 0:
+        return None
+    res = []
+    for w in range(n_win):
+        o0, o1 = out_off[w], out_off[w + 1]
+        k0, k1 = keys_off[w], keys_off[w + 1]
+        res.append(
+            (
+                out_c[o0:o1].copy(),
+                out_s[o0:o1].astype(bool),
+                SparseCounts(keys[k0:k1].copy(), vals[k0:k1].copy()),
+            )
+        )
+    return res
 
 
 def assemble_windows_native(col_base, col_del, ins_len, ins_pack,

@@ -15,6 +15,7 @@
 //
 // Build: g++ -O3 -shared -fPIC host.cpp -o libconsent_host.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -638,6 +639,119 @@ int64_t host_post_window(
                              out_codes, out_solid, out_cap);
 }
 
+// Batched host post chain: MANY windows per ctypes call.  The
+// per-window Python/numpy/ctypes glue around host_post_window (1 MB
+// dense-table zeroing, per-window blob concatenation, np.sort of the
+// touched keys) dominated consensus.kmer_dbg on small hosts; this
+// entry runs a whole window slice in one call against a persistent
+// thread-local dense table that is kept all-zero by re-zeroing only
+// the touched k-mers after each window.
+//
+// Layout: one fragment blob for the slice with per-fragment
+// lens/offsets and per-window ranges win_frag_off[w]..win_frag_off[w+1];
+// consensus codes concatenated in cons_blob with cons_off[n_win+1].
+// Outputs: corrected codes/solid blobs (out_off[n_win+1]), per-window
+// SORTED distinct k-mers + their counts (keys_off[n_win+1]), status
+// codes as in host_post_window.  Returns total output bytes, or -1 if
+// out_cap / keys_cap is too small.
+int64_t host_post_batch(
+    const uint8_t* frag_blob, const int64_t* lens,
+    const int64_t* offsets, const int64_t* win_frag_off,
+    int64_t n_win,
+    const uint8_t* cons_blob, const int64_t* cons_off,
+    int k, int solid_thresh, int max_branches, int zone,
+    int min_anchors, const int32_t* bmean_sup,
+    uint8_t* out_codes, uint8_t* out_solid, int64_t out_cap,
+    int64_t* out_off,
+    int64_t* keys_out, int32_t* vals_out, int64_t keys_cap,
+    int64_t* keys_off,
+    int32_t* status) {
+    const int64_t table_n = (int64_t)1 << (2 * k);
+    static thread_local std::vector<int32_t> dense;
+    if ((int64_t)dense.size() != table_n) dense.assign(table_n, 0);
+    static thread_local std::vector<int64_t> touched;
+
+    int64_t out_pos = 0, keys_pos = 0;
+    out_off[0] = 0;
+    keys_off[0] = 0;
+    for (int64_t w = 0; w < n_win; w++) {
+        const int64_t f0 = win_frag_off[w], f1 = win_frag_off[w + 1];
+        const int64_t n_frags = f1 - f0;
+        const uint8_t* cons = cons_blob + cons_off[w];
+        const int64_t cons_len = cons_off[w + 1] - cons_off[w];
+        if (n_frags <= 0) {
+            status[w] = 1;
+            out_off[w + 1] = out_pos;
+            keys_off[w + 1] = keys_pos;
+            continue;
+        }
+        int64_t t_cap = 0;
+        for (int64_t f = f0; f < f1; f++)
+            if (lens[f] >= k) t_cap += lens[f] - k + 1;
+        if ((int64_t)touched.size() < t_cap) touched.resize(t_cap);
+        const int64_t nt = count_kmers_touched(
+            frag_blob, lens + f0, offsets + f0, n_frags, k,
+            dense.data(), touched.data());
+        std::sort(touched.begin(), touched.begin() + nt);
+        if (keys_pos + nt > keys_cap) return -1;
+        for (int64_t i = 0; i < nt; i++) {
+            keys_out[keys_pos + i] = touched[i];
+            vals_out[keys_pos + i] = dense[touched[i]];
+        }
+        keys_pos += nt;
+        keys_off[w + 1] = keys_pos;
+
+        const int64_t n_anch = count_anchors(
+            frag_blob, lens + f0, offsets + f0, n_frags, k,
+            bmean_sup[w]);
+        int64_t n = -1;
+        if (n_anch < min_anchors) {
+            // template fallback, all-solid (correctionMSA.cpp:31-36)
+            const int64_t tn = lens[f0];
+            if (out_pos + tn > out_cap) n = -1;
+            else {
+                memcpy(out_codes + out_pos, frag_blob + offsets[f0], tn);
+                memset(out_solid + out_pos, 1, tn);
+                status[w] = 1;
+                n = tn;
+            }
+        } else if (cons_len < k) {
+            if (out_pos + cons_len > out_cap) n = -1;
+            else {
+                memcpy(out_codes + out_pos, cons, cons_len);
+                memset(out_solid + out_pos, 0, cons_len);
+                status[w] = 2;
+                n = cons_len;
+            }
+        } else {
+            // solidity mask: mask[p] = solid(kmer @ min(p, L-k))
+            std::vector<uint8_t> solid(cons_len);
+            const uint64_t mask = (k >= 32) ? ~0ULL
+                                            : ((1ULL << (2 * k)) - 1);
+            uint64_t km = 0;
+            for (int i = 0; i < k - 1; i++) km = (km << 2) | cons[i];
+            for (int64_t p = 0; p + k <= cons_len; p++) {
+                km = ((km << 2) | cons[p + k - 1]) & mask;
+                solid[p] = dense[km] >= solid_thresh;
+            }
+            for (int64_t p = cons_len - k + 1; p < cons_len; p++)
+                solid[p] = solid[cons_len - k];
+            status[w] = 0;
+            n = polish_correction(
+                cons, solid.data(), cons_len, dense.data(), k,
+                solid_thresh, max_branches, zone,
+                out_codes + out_pos, out_solid + out_pos,
+                out_cap - out_pos);
+        }
+        // keep the persistent table all-zero for the next window
+        for (int64_t i = 0; i < nt; i++) dense[touched[i]] = 0;
+        if (n < 0) return -1;
+        out_pos += n;
+        out_off[w + 1] = out_pos;
+    }
+    return out_pos;
+}
+
 // Batch consensus assembly from the wire-format packed votes
 // (ops/consensus.py assemble_consensus_batch semantics).  Two-pass:
 // offsets out in out_offsets[B+1]; returns total bytes, or -1 if
@@ -652,7 +766,9 @@ int64_t assemble_windows(
     int64_t total = 0;
     for (int64_t b = 0; b < B; b++) {
         out_offsets[b] = total;
-        int64_t wl = w_lens[b];
+        // clamp to the arrays' row width: the C ABI takes untrusted
+        // lengths and the caller's capacity math uses min(wl, W)
+        int64_t wl = w_lens[b] < W ? w_lens[b] : W;
         const int8_t* cd = col_del + b * W;
         const uint8_t* il = ins_len + b * W;
         int64_t n = pre_len[b] + suf_len[b];
@@ -663,7 +779,7 @@ int64_t assemble_windows(
     if (total > out_cap) return -1;
     for (int64_t b = 0; b < B; b++) {
         uint8_t* o = out + out_offsets[b];
-        int64_t wl = w_lens[b];
+        int64_t wl = w_lens[b] < W ? w_lens[b] : W;
         const int8_t* cb = col_base + b * W;
         const int8_t* cd = col_del + b * W;
         const uint8_t* il = ins_len + b * W;

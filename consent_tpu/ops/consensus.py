@@ -165,10 +165,11 @@ def consensus_votes(
     ins_valid = k < ins_count[:, :, None]                # [N, W, K]
 
     # ---- reduce over fragment slots per window ----
-    # counts fit int16 (<= S + 1 <= 153 per shard, < 2^15 across
-    # shards); the narrow accumulator halves the [B, S, ...] reduce
-    # traffic vs int32 — these reductions are the epilogue's dominant
-    # byte stream
+    # counts fit int16: bounded by the fragment-slot cap max_msa + 1,
+    # which ConsentConfig.validate() rejects at >= 30000 (< 2^15 even
+    # summed across frag shards); the narrow accumulator halves the
+    # [B, S, ...] reduce traffic vs int32 — these reductions are the
+    # epilogue's dominant byte stream
     def red(x):
         y = x.astype(jnp.int16).reshape(B, S, *x.shape[1:]).sum(
             axis=1, dtype=jnp.int16
@@ -338,6 +339,119 @@ def consensus_votes(
     )
 
 
+def assemble_template_device(
+    v: WindowVotes,
+    tpl_len: jnp.ndarray,  # [B] int32: this round's template lengths
+    Lt: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side consensus assembly for the NEXT refinement round.
+
+    Bit-equal to the host chain `assemble_consensus_batch(votes,
+    tpl_len)` followed by truncation to Lt and zero-padding — the
+    layout (prefix insertion reversed, then per kept column its base
+    followed by the insertion after it, then the suffix insertion) is
+    a bounded prefix-sum placement, evaluated here as a gather-free
+    masked reduction so refinement rounds never round-trip votes
+    through the host (the device->host fetch round trip dominated the
+    two-round pipeline; VERDICT r3).
+
+    Returns (new_tpl [B, Lt] uint8, new_len [B] int32).
+    """
+    col_base = v.col_base.astype(jnp.int32)
+    col_del = v.col_del
+    B, W = col_base.shape
+    kk = jnp.arange(INS_CAP, dtype=jnp.int32)
+
+    def pack2(b):  # [..., K] base codes -> [...] int32, LSB first
+        return jnp.sum(
+            (b.astype(jnp.int32) & 3) << (2 * kk), axis=-1
+        ).astype(jnp.int32)
+
+    ins_pack = pack2(v.ins_base)                     # [B, W]
+    pre_pack = pack2(v.pre_base)                     # [B]
+    suf_pack = pack2(v.suf_base)                     # [B]
+    pre = v.pre_len.astype(jnp.int32)
+    suf = v.suf_len.astype(jnp.int32)
+
+    colj = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = colj < tpl_len[:, None]
+    keep = (valid & ~col_del).astype(jnp.int32)
+    il = jnp.where(valid, v.ins_len.astype(jnp.int32), 0)
+    cnt = keep + il                                  # bases from col j
+    # absolute (prefix-included) inclusive segment ends per column
+    e = pre[:, None] + jnp.cumsum(cnt, axis=1)       # [B, W]
+    start = e - cnt
+    main_end = e[:, -1:]                             # [B, 1]
+    total = main_end[:, 0] + suf
+    # everything needed per column, packed into one int32 so the
+    # column->position placement is TWO masked reductions (start fits
+    # 14 bits: <= pre + 17*W < 2^14 at the engine's Lt)
+    meta = (start << 3) | (keep << 2) | (col_base & 3)
+
+    # position t belongs to column j(t) = #{j : e[b,j] <= t}; e is
+    # non-decreasing so the one-hot of j(t) is the edge of the
+    # comparison mask along j — no gather, no scatter, pure
+    # compare/select/reduce over [B, Lt, W] (XLA fuses the producers
+    # into the reductions; nothing O(B*Lt*W) is materialized)
+    t3 = jnp.arange(Lt, dtype=jnp.int32)[None, :, None]   # [1, Lt, 1]
+    cmp = e[:, None, :] <= t3                             # [B, Lt, W]
+    cmp_prev = jnp.concatenate(
+        [jnp.ones((B, Lt, 1), bool), cmp[:, :, :-1]], axis=2
+    )
+    onehot = (cmp_prev & ~cmp).astype(jnp.int32)
+    meta_sel = jnp.sum(meta[:, None, :] * onehot, axis=2)  # [B, Lt]
+    ip_sel = jnp.sum(ins_pack[:, None, :] * onehot, axis=2)
+
+    tt = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    in_pre = tt < pre[:, None]
+    in_main = ~in_pre & (tt < main_end)
+    in_suf = (tt >= main_end) & (tt < main_end + suf[:, None])
+    startj = meta_sel >> 3
+    keepj = (meta_sel >> 2) & 1
+    cbj = meta_sel & 3
+    off = tt - startj
+    ins_idx = jnp.clip(off - keepj, 0, INS_CAP - 1)
+    main_base = jnp.where(
+        (off == 0) & (keepj == 1), cbj, (ip_sel >> (2 * ins_idx)) & 3
+    )
+    # prefix offsets count outward from column 0 -> reversed on output
+    pre_sh = jnp.clip(pre[:, None] - 1 - tt, 0, INS_CAP - 1)
+    pre_b = (pre_pack[:, None] >> (2 * pre_sh)) & 3
+    suf_sh = jnp.clip(tt - main_end, 0, INS_CAP - 1)
+    suf_b = (suf_pack[:, None] >> (2 * suf_sh)) & 3
+    out = jnp.where(
+        in_pre, pre_b,
+        jnp.where(in_main, main_base, jnp.where(in_suf, suf_b, 0)),
+    )
+    new_len = jnp.minimum(total, Lt).astype(jnp.int32)
+    return out.astype(jnp.uint8), new_len
+
+
+def consensus_votes_rounds(
+    frags, frag_len, tpl, tpl_len, *, S, rounds, min_column_support,
+    scoring, frag_d0=None, axis_name=None,
+):
+    """`rounds` refinement rounds fused into one device computation:
+    each round's consensus is assembled ON DEVICE
+    (assemble_template_device) and becomes the next round's template.
+    Returns (final WindowVotes, final template lengths [B]) — the host
+    assembles the final consensus once from the returned votes."""
+    Lt = tpl.shape[1]
+    for _ in range(max(1, rounds) - 1):
+        v = consensus_votes(
+            frags, frag_len, tpl, tpl_len, S=S,
+            min_column_support=min_column_support, scoring=scoring,
+            frag_d0=frag_d0, axis_name=axis_name,
+        )
+        tpl, tpl_len = assemble_template_device(v, tpl_len, Lt)
+    v = consensus_votes(
+        frags, frag_len, tpl, tpl_len, S=S,
+        min_column_support=min_column_support, scoring=scoring,
+        frag_d0=frag_d0, axis_name=axis_name,
+    )
+    return v, tpl_len
+
+
 class PackedVotes(NamedTuple):
     """Transfer-optimized consensus description (~4x fewer bytes than
     WindowVotes): insertion bases 2-bit packed, per-column fields in
@@ -478,7 +592,7 @@ def _bitcast32(u8):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "Pb", "Lt", "min_column_support", "scoring",
-                     "axis_name"),
+                     "axis_name", "rounds"),
 )
 def consensus_votes_wire(
     buf: jnp.ndarray,  # [B, S*Pb + 4S + Lt + 4 + 4S] uint8
@@ -489,7 +603,12 @@ def consensus_votes_wire(
     min_column_support: int = 2,
     scoring: align_ops.Scoring = align_ops.Scoring(),
     axis_name: str | None = None,
-) -> jnp.ndarray:      # [B, 7*Lt + 16] uint8
+    rounds: int = 1,
+) -> jnp.ndarray:      # [B, 7*Lt + 20] uint8
+    """All `rounds` refinement rounds in ONE dispatch (the round-1
+    consensus is assembled on device and realigned against; see
+    assemble_template_device) — each window round-trips its packed
+    votes exactly once regardless of consensus_rounds."""
     B = buf.shape[0]
     o = 0
     frags = unpack_bases(buf[:, : S * Pb].reshape(B, S, Pb), Pb * 4)
@@ -502,14 +621,13 @@ def consensus_votes_wire(
     o += 4
     frag_d0 = _bitcast32(buf[:, o : o + 4 * S])
 
-    v = pack_votes(
-        consensus_votes(
-            frags, frag_len, tpl, tpl_len, S=S,
-            min_column_support=min_column_support, scoring=scoring,
-            frag_d0=frag_d0 if scoring.band else None,
-            axis_name=axis_name,
-        )
+    votes, w_len = consensus_votes_rounds(
+        frags, frag_len, tpl, tpl_len, S=S, rounds=rounds,
+        min_column_support=min_column_support, scoring=scoring,
+        frag_d0=frag_d0 if scoring.band else None,
+        axis_name=axis_name,
     )
+    v = pack_votes(votes)
 
     def u8_32(x):  # int32[...] -> uint8[..., flattened bytes]
         y = jax.lax.bitcast_convert_type(x, jnp.uint8)
@@ -525,13 +643,17 @@ def consensus_votes_wire(
             u8_32(v.pre_pack[:, None]),
             u8_32(v.suf_len[:, None]),
             u8_32(v.suf_pack[:, None]),
+            u8_32(w_len[:, None]),
         ],
         axis=1,
     )
 
 
-def wire_decode_votes(arr: np.ndarray, W: int) -> PackedVotes:
-    """Host inverse of consensus_votes_wire's output layout."""
+def wire_decode_votes(arr: np.ndarray, W: int
+                      ) -> tuple[PackedVotes, np.ndarray]:
+    """Host inverse of consensus_votes_wire's output layout.  Returns
+    (votes, w_len) — w_len is the FINAL round's per-window template
+    length (the host assembles the final consensus against it)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     o = 0
 
@@ -552,11 +674,12 @@ def wire_decode_votes(arr: np.ndarray, W: int) -> PackedVotes:
     pre_pack = i32(take(4))[:, 0]
     suf_len = i32(take(4))[:, 0]
     suf_pack = i32(take(4))[:, 0]
+    w_len = i32(take(4))[:, 0]
     return PackedVotes(
         col_base=col_base, col_del=col_del, ins_len=ins_len,
         ins_pack=ins_pack, pre_len=pre_len, pre_pack=pre_pack,
         suf_len=suf_len, suf_pack=suf_pack,
-    )
+    ), w_len
 
 
 def _edge_majority(valid, cnt, codes, ok, B, S, axis_name=None):

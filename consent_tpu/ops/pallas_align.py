@@ -63,6 +63,14 @@ STAGE_DT = jnp.int16
 # dynamic rolls eat the saving).  Kept for future toolchains.
 import os as _os  # noqa: E402  (knob read at import)
 FOLD_MODE = _os.environ.get("CONSENT_TPU_FOLD", "row")
+if FOLD_MODE == "none":  # pragma: no cover - experiment knob
+    import warnings as _warnings
+
+    _warnings.warn(
+        "CONSENT_TPU_FOLD=none skips the posterior fold: banded "
+        "kernel results are WRONG (timing-ceiling experiment only)",
+        stacklevel=1,
+    )
 
 
 def _kernel(qlen_ref, rlen_ref, q_ref, r_ref,
@@ -223,7 +231,11 @@ def _kernel_banded(qlen_ref, jlo_ref, jhi_ref, q_ref, rhat_ref,
                    base_ref, inspack_ref, hm_hbm,
                    rr_ref, qrot_ref, row_buf, dma_sem,
                    h_ref, f_ref, optv_ref,
-                   gany_ref, gif_ref, gil_ref, gb_ref, gp_ref,
+                   # group-fold accumulators, allocated only when
+                   # FOLD_MODE == 'group' (the default 'row' path
+                   # passes 5 fewer scratch refs)
+                   gany_ref=None, gif_ref=None, gil_ref=None,
+                   gb_ref=None, gp_ref=None,
                    *, Lq: int, W: int, BW: int, sc: Scoring):
     """Banded variant: DP states live in band coordinates
     (slot b of row i = kernel column chat = i + b - OFF), so
@@ -594,15 +606,17 @@ def pallas_banded_posterior_summary(
             pltpu.VMEM((TILE_N, BW), DP),                       # h / bh
             pltpu.VMEM((TILE_N, BW), DP),                       # f / bf
             pltpu.VMEM((TILE_N, BW), DP),                       # optv
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gany
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gif
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gil
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gb
-            pltpu.VMEM((TILE_N, W), jnp.int32),                 # gp
-        ],
+        ] + (
+            # band-coordinate group-fold accumulators — only the
+            # experimental FOLD_MODE='group' path reads them (~2.6 MB
+            # of VMEM at TILE_N=256/W=512 otherwise left dead)
+            [pltpu.VMEM((TILE_N, W), jnp.int32) for _ in range(5)]
+            if FOLD_MODE == "group" else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                (11 * TILE_N * W + 2 * TILE_N * Lq + 5 * TILE_N * BW) * 4
+                ((11 if FOLD_MODE == "group" else 6) * TILE_N * W
+                 + 2 * TILE_N * Lq + 5 * TILE_N * BW) * 4
                 + 8 * 2 ** 20
             ),
         ),

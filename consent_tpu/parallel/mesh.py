@@ -75,12 +75,19 @@ def sharded_votes_fn(
     with_d0: bool,
     packed: bool = False,
     frags_packed: bool = False,
+    rounds: int = 1,
 ):
     """jit(shard_map(consensus_votes)) over the mesh.
 
     With a `frag` axis of size nf > 1, each device holds S/nf fragment
     slots and the vote reductions all-reduce over `frag`; the returned
     callable still takes the full [B, S, ...] arrays.
+
+    rounds > 1 fuses the refinement rounds on device (the psum'd votes
+    are full reductions, so every frag shard assembles the identical
+    next-round template locally — no extra collective); the callable
+    then returns (votes, w_len) with the FINAL round's template
+    lengths.
     """
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     nf = axes.get("frag", 1)
@@ -92,6 +99,16 @@ def sharded_votes_fn(
     def body(frags, frag_len, tpl, tpl_len, frag_d0=None):
         if frags_packed:
             frags = cons_ops.unpack_bases(frags, frags.shape[-1] * 4)
+        if rounds > 1:
+            v, w_len = cons_ops.consensus_votes_rounds(
+                frags, frag_len, tpl, tpl_len,
+                S=S_local, rounds=rounds,
+                min_column_support=min_column_support,
+                scoring=scoring,
+                frag_d0=frag_d0,
+                axis_name=axis_name,
+            )
+            return (cons_ops.pack_votes(v) if packed else v), w_len
         v = cons_ops.consensus_votes(
             frags, frag_len, tpl, tpl_len,
             S=S_local,
@@ -134,6 +151,8 @@ def sharded_votes_fn(
             suf_len=P("data"),
             suf_base=P("data", None),
         )
+    if rounds > 1:
+        out_specs = (out_specs, P("data"))
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -145,11 +164,13 @@ def sharded_votes_fn(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring):
+def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
+                     rounds):
     def body(buf):
         return cons_ops.consensus_votes_wire(
             buf, S=S, Pb=Pb, Lt=Lt,
             min_column_support=min_column_support, scoring=scoring,
+            rounds=rounds,
         )
 
     fn = jax.shard_map(
@@ -160,11 +181,13 @@ def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring):
 
 
 def sharded_wire_step(mesh, buf, *, S, Pb, Lt, min_column_support,
-                      scoring):
+                      scoring, rounds=1):
     """Wire-format consensus step sharded over the `data` mesh axis
     (the engine's production path: one upload + one download buffer
-    per call, split over all local devices)."""
-    fn = _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring)
+    per call, split over all local devices; all refinement rounds
+    fused into the one dispatch)."""
+    fn = _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
+                          rounds)
     return fn(jax.device_put(buf, NamedSharding(mesh, P("data", None))))
 
 
@@ -181,15 +204,18 @@ def sharded_consensus_step(
     frag_d0=None,
     packed: bool = False,
     frags_packed: bool = False,
+    rounds: int = 1,
 ):
     """One device-parallel consensus step: window batch split over
     `data`, fragment slots over `frag` (vote reductions become
     all-reduces over `frag`).  Inputs are host or device arrays with
     leading dim B divisible by the data-axis size (and S by the frag
-    size).  packed=True returns the wire-format PackedVotes."""
+    size).  packed=True returns the wire-format PackedVotes; with
+    rounds > 1 the refinement rounds are device-fused and the result
+    is (votes, final template lengths)."""
     fn = sharded_votes_fn(
         mesh, S, min_column_support, scoring, frag_d0 is not None,
-        packed, frags_packed,
+        packed, frags_packed, rounds,
     )
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     frag = "frag" if axes.get("frag", 1) > 1 else None

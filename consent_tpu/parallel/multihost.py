@@ -45,7 +45,17 @@ def merge_shards(base: str, process_count: int, out_path: str) -> None:
     streams: List[tuple] = []
     handles: List[TextIO] = []
     for p in range(process_count):
-        f = open(shard_path(base, p))
+        path = shard_path(base, p)
+        try:
+            f = open(path)
+        except FileNotFoundError:
+            for h in handles:
+                h.close()
+            raise FileNotFoundError(
+                f"missing shard {p}/{process_count}: {path} — did "
+                f"every host's consent run finish? (each host writes "
+                f"its own .shardNNNNN file next to --out)"
+            ) from None
         handles.append(f)
 
     def records(f):

@@ -121,11 +121,13 @@ class ConsensusEngine:
     def run(self, tasks: Sequence[WindowTask]) -> None:
         """Compute consensus + counts + DBG polish for every task.
 
-        Every round of every bucket batch is dispatched asynchronously
-        (the device call returns immediately), so device compute
-        overlaps across batches and each batch pays exactly one host
-        round trip per round for its packed votes.  Refinement rounds
-        realign the fragments to the previous round's consensus."""
+        ALL consensus_rounds refinement rounds run in ONE device
+        dispatch per batch (intermediate consensuses are assembled on
+        device — ops/consensus.py assemble_template_device — and
+        realigned without touching the host), so each batch pays
+        exactly one fetch round trip for its packed votes regardless
+        of the round count.  Batches dispatch asynchronously and their
+        fetch latency overlaps across the chain pool."""
         buckets: Dict[int, List[WindowTask]] = {}
         for t in tasks:
             n = min(len(t.frags), self.cfg.max_msa + 1)
@@ -155,10 +157,8 @@ class ConsensusEngine:
                 arrays = self._build_arrays(sub, S)
             frags, frag_len, frag_d0, tpl, tpl_len = arrays
             dev = self._dispatch(S, frags, frag_len, frag_d0, tpl,
-                                 tpl_len)
-            pending.append(
-                [sub, S, frags, frag_len, frag_d0, tpl_len, dev]
-            )
+                                 tpl_len, rounds)
+            pending.append([sub, S, tpl_len, dev])
         # Per-job chains (fetch -> assemble -> redispatch/post) are
         # independent; fanning them over the "chain" pool overlaps
         # each job's device-fetch latency with other jobs' host work —
@@ -175,36 +175,21 @@ class ConsensusEngine:
         n_chain = max(4, self.cfg.n_workers or _os.cpu_count() or 1)
         pool = host_pool(n_chain, kind="chain")
         if pool is not None and len(pending) > 1:
-            list(pool.map(lambda p: self._job_chain(*p, rounds),
-                          pending))
+            list(pool.map(lambda p: self._job_chain(*p), pending))
         else:
             for p in pending:
-                self._job_chain(*p, rounds)
+                self._job_chain(*p)
 
-    def _job_chain(self, sub, S, frags, frag_len, frag_d0, tpl_len,
-                   dev, rounds):
-        for r in range(rounds):
-            last = r == rounds - 1
-            with STATS.timer("consensus.device_votes", len(sub)):
-                votes = self._fetch_votes(dev)
-            with STATS.timer("consensus.assemble", len(sub)):
-                cons_list = cons_ops.assemble_consensus_batch(
-                    votes, tpl_len.tolist()
-                )
-            if last:
-                self._host_post(sub, S, cons_list)
-                return
-            # next round: consensus becomes the template
-            B = frags.shape[0]
-            new_tpl = np.zeros((B, self.Lt), dtype=np.uint8)
-            new_tlen = np.zeros(B, dtype=np.int32)
-            for b, c in enumerate(cons_list):
-                L = min(len(c), self.Lt)
-                new_tpl[b, :L] = c[:L]
-                new_tlen[b] = L
-            dev = self._dispatch(S, frags, frag_len, frag_d0,
-                                 new_tpl, new_tlen)
-            tpl_len = new_tlen
+    def _job_chain(self, sub, S, tpl_len, dev):
+        """One fetch -> one host assemble -> host post per batch (the
+        refinement rounds already ran fused inside the dispatch)."""
+        with STATS.timer("consensus.device_votes", len(sub)):
+            votes, w_len = self._fetch_votes(dev, tpl_len)
+        with STATS.timer("consensus.assemble", len(sub)):
+            cons_list = cons_ops.assemble_consensus_batch(
+                votes, w_len.tolist()
+            )
+        self._host_post(sub, S, cons_list)
 
     def _max_b(self, S: int) -> int:
         """Windows per device call for bucket S (multiple of the
@@ -253,10 +238,12 @@ class ConsensusEngine:
         return (cons_ops.pack_bases_host(frags), frag_len, frag_d0,
                 tpl, tpl_len)
 
-    def _dispatch(self, S, frags, frag_len, frag_d0, tpl, tpl_len):
-        """Asynchronously dispatch one wire-format consensus step
-        (one upload buffer in, one download buffer out); fetch the
-        returned device array with _fetch_votes when needed."""
+    def _dispatch(self, S, frags, frag_len, frag_d0, tpl, tpl_len,
+                  rounds=1):
+        """Asynchronously dispatch one wire-format consensus step with
+        all refinement rounds fused (one upload buffer in, one
+        download buffer out); fetch the returned device array with
+        _fetch_votes when needed."""
         cfg = self.cfg
         if self.frag_devices > 1:
             # deep-pile geometry: fragment slots shard over `frag`,
@@ -268,7 +255,7 @@ class ConsensusEngine:
                 min_column_support=cfg.min_column_support,
                 scoring=self.scoring,
                 frag_d0=frag_d0 if self.scoring.band else None,
-                packed=True, frags_packed=True,
+                packed=True, frags_packed=True, rounds=rounds,
             )
         buf = cons_ops.wire_encode_inputs(
             frags, frag_len, tpl, tpl_len, frag_d0
@@ -280,32 +267,88 @@ class ConsensusEngine:
             return mesh_mod.sharded_wire_step(
                 self.mesh, buf, S=S, Pb=Pb, Lt=self.Lt,
                 min_column_support=cfg.min_column_support,
-                scoring=self.scoring,
+                scoring=self.scoring, rounds=rounds,
             )
         return cons_ops.consensus_votes_wire(
             jnp.asarray(buf), S=S, Pb=Pb, Lt=self.Lt,
             min_column_support=cfg.min_column_support,
-            scoring=self.scoring,
+            scoring=self.scoring, rounds=rounds,
         )
 
-    def _fetch_votes(self, dev) -> cons_ops.PackedVotes:
-        if isinstance(dev, cons_ops.PackedVotes):  # frag-axis path
-            return cons_ops.PackedVotes(*[np.asarray(x) for x in dev])
+    def _fetch_votes(self, dev, tpl_len):
+        """-> (PackedVotes, final-round template lengths [B])."""
+        if isinstance(dev, cons_ops.PackedVotes):  # frag-axis, 1 round
+            return (
+                cons_ops.PackedVotes(*[np.asarray(x) for x in dev]),
+                tpl_len,
+            )
+        # NamedTuple check must come first: PackedVotes IS a tuple
+        if isinstance(dev, tuple):  # frag-axis fused path
+            votes, w_len = dev
+            return (
+                cons_ops.PackedVotes(*[np.asarray(x) for x in votes]),
+                np.asarray(w_len),
+            )
         return cons_ops.wire_decode_votes(np.asarray(dev), self.Lt)
 
     def _host_post(self, ts, S, cons_list):
         """Host post-processing: counts, anchor gate, weighting, DBG
         polish (native C++ fast paths with Python fallbacks).
 
-        Threaded across windows on the shared `--nproc`-sized pool:
-        the native calls and numpy kernels release the GIL, so this is
-        the host-side analogue of the reference's CTPL pool
-        (CONSENT-correction.cpp:77) for the stages that stay on CPU."""
+        The native path runs whole window SLICES per ctypes call
+        (host.cpp host_post_batch) — the per-window Python/ctypes glue
+        dominated this stage on small hosts — fanned out over the
+        shared `--nproc`-sized pool (the native calls release the GIL,
+        the host-side analogue of the reference's CTPL pool,
+        CONSENT-correction.cpp:77)."""
+        from consent_tpu import native
         from consent_tpu.utils.hostpool import host_pool
 
-        pool = host_pool(self.cfg.n_workers)
+        cfg = self.cfg
+        pool = host_pool(cfg.n_workers)
         with STATS.timer("consensus.kmer_dbg", len(ts)):
-            if pool is not None and len(ts) >= 8:
+            if native.get_lib() is not None and len(ts) >= 2:
+                uses = [
+                    t.frags[: min(len(t.frags), cfg.max_msa + 1, S)]
+                    for t in ts
+                ]
+                sups = [
+                    min(cfg.common_kmers, len(u) // 2) for u in uses
+                ]
+                conss = [c[: self.Lt] for c in cons_list]
+
+                def run_slice(span):
+                    lo, hi = span
+                    res = native.host_post_batch_native(
+                        uses[lo:hi], conss[lo:hi], sups[lo:hi],
+                        cfg.mer_size, cfg.solid_thresh,
+                        cfg.max_branches, cfg.dbg_zone,
+                        cfg.min_anchors,
+                    )
+                    if res is None:  # native failure: per-window path
+                        for b in range(lo, hi):
+                            self._host_post_one(ts[b], cons_list[b], S)
+                        return
+                    for b, (c, s, sp) in enumerate(res, lo):
+                        ts[b].consensus = c
+                        ts[b].solid = s
+                        ts[b].counts = sp
+
+                n = len(ts)
+                if pool is not None and n >= 16:
+                    # ~4 slices per worker for DBG load balance
+                    import os as _os
+
+                    k = 4 * (cfg.n_workers or _os.cpu_count() or 1)
+                    step = max(1, -(-n // k))
+                    spans = [
+                        (lo, min(lo + step, n))
+                        for lo in range(0, n, step)
+                    ]
+                    list(pool.map(run_slice, spans))
+                else:
+                    run_slice((0, n))
+            elif pool is not None and len(ts) >= 8:
                 list(
                     pool.map(
                         lambda b: self._host_post_one(

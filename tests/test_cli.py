@@ -224,7 +224,9 @@ def test_cli_chunk_quarantine_and_repair(small_dataset, tmp_path,
 
     monkeypatch.setattr(engine_mod, "process_piles", flaky)
     rc = cli.main_correct(flags + ["--out", str(out2), "--resume"])
-    assert rc == 0  # the run completed despite the failing chunk
+    # the run completed despite the failing chunk, but the output is
+    # missing reads — the exit code must make that machine-detectable
+    assert rc != 0
     err = capsys.readouterr().err
     assert "quarantined" in err
     partial = open(out2).read()
@@ -236,3 +238,144 @@ def test_cli_chunk_quarantine_and_repair(small_dataset, tmp_path,
     rc = cli.main_correct(flags + ["--out", str(out2), "--resume"])
     assert rc == 0
     assert open(out2).read() == fresh
+
+
+# ---------------------------------------------------------------------------
+# minimap2 contract (reference: CONSENT-correct:185,187; CONSENT-polish:189)
+# minimap2 itself is not installed here; a fake binary on PATH records
+# the exact argv and emits a canned PAF, covering _run_minimap2 and
+# both post-minimap chains (group-by-query after correct; sort-by-
+# target + reformat after polish) against the --paf path.
+
+
+def _fake_minimap2(tmp_path, canned_paf):
+    """Drop an executable `minimap2` into tmp_path that records its
+    argv and cats the canned PAF to stdout."""
+    args_file = tmp_path / "minimap2.argv"
+    script = tmp_path / "minimap2"
+    script.write_text(
+        "#!/bin/sh\n"
+        f'printf \'%s\\n\' "$@" > "{args_file}"\n'
+        f'cat "{canned_paf}"\n'
+    )
+    script.chmod(0o755)
+    return args_file
+
+
+def test_minimap2_contract_correct(small_dataset, tmp_path, monkeypatch):
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    from consent_tpu.io import paf as paf_mod
+    from consent_tpu.io.fasta import ReadIndex
+    from consent_tpu.overlap import minimizer as mz
+
+    index = ReadIndex.from_file(str(reads_fa))
+    named = [(n, index[n]) for n in index.names()]
+    piles = list(mz.all_vs_all_piles(named, mz.OverlapParams(), 150))
+    canned = tmp_path / "canned.paf"
+    paf_mod.write_piles_paf(piles, str(canned))
+    # scatter the lines so group_paf_by_query has real work to do
+    lines = canned.read_text().splitlines()
+    canned.write_text("\n".join(lines[1::2] + lines[0::2]) + "\n")
+
+    args_file = _fake_minimap2(tmp_path, canned)
+    monkeypatch.setenv(
+        "PATH", f"{tmp_path}:{__import__('os').environ['PATH']}"
+    )
+
+    flags = ["--windowSize", "200", "--windowOverlap", "20",
+             "--nproc", "3"]
+    out_mm = tmp_path / "mm.fasta"
+    rc = cli.main_correct(
+        ["--in", str(reads_fa), "--out", str(out_mm),
+         "--overlapper", "minimap2"] + flags
+    )
+    assert rc == 0
+    # the reference's exact PB argument string (CONSENT-correct:187)
+    argv = args_file.read_text().split("\n")
+    argv = [a for a in argv if a]
+    assert argv == [
+        "--dual=yes", "-PD", "--no-long-join", "-w5", "-g1000",
+        "-m30", "-n1", "-t", "3", "-I", "1G",
+        str(reads_fa), str(reads_fa),
+    ]
+
+    # ONT type switches to the long-join-suppressed k15 invocation
+    # (CONSENT-correct:185)
+    out_ont = tmp_path / "ont.fasta"
+    cli.main_correct(
+        ["--in", str(reads_fa), "--out", str(out_ont),
+         "--overlapper", "minimap2", "--type", "ONT"] + flags
+    )
+    argv = [a for a in args_file.read_text().split("\n") if a]
+    assert argv[:12] == [
+        "-k15", "-w5", "-m100", "-g10000", "-r2000",
+        "--max-chain-skip", "25", "--dual=yes", "-PD",
+        "--no-long-join", "-t", "3",
+    ]
+
+    # equality with the --paf path fed the same (grouped) PAF
+    grouped = tmp_path / "grouped.paf"
+    paf_mod.group_paf_by_query(str(canned), str(grouped))
+    out_paf = tmp_path / "paf.fasta"
+    rc = cli.main_correct(
+        ["--in", str(reads_fa), "--out", str(out_paf),
+         "--paf", str(grouped)] + flags
+    )
+    assert rc == 0
+    assert out_mm.read_text() == out_paf.read_text()
+    assert out_mm.read_text()  # non-trivial output
+
+
+def test_minimap2_contract_polish(small_dataset, tmp_path, monkeypatch):
+    tmp, genome, reads, draft, reads_fa, asm_fa = small_dataset
+    from consent_tpu.io import paf as paf_mod
+    from consent_tpu.io.fasta import ReadIndex
+    from consent_tpu.overlap import minimizer as mz
+
+    contigs = ReadIndex.from_file(str(asm_fa))
+    rd = ReadIndex.from_file(str(reads_fa))
+    piles = list(
+        mz.map_to_targets_piles(
+            [(n, contigs[n]) for n in contigs.names()],
+            [(n, rd[n]) for n in rd.names()],
+            mz.OverlapParams(), 20000,
+        )
+    )
+    # fabricate minimap2's raw output: reads as query, contig as
+    # target (the polish chain sorts by target then reformats)
+    canned = tmp_path / "canned.paf"
+    paf_mod.write_piles_paf(piles, str(canned), swap=True)
+
+    args_file = _fake_minimap2(tmp_path, canned)
+    monkeypatch.setenv(
+        "PATH", f"{tmp_path}:{__import__('os').environ['PATH']}"
+    )
+    flags = ["--windowSize", "200", "--windowOverlap", "20",
+             "--nproc", "2"]
+    out_mm = tmp_path / "mm.fasta"
+    rc = cli.main_polish(
+        ["--contigs", str(asm_fa), "--reads", str(reads_fa),
+         "--out", str(out_mm), "--overlapper", "minimap2"] + flags
+    )
+    assert rc == 0
+    argv = [a for a in args_file.read_text().split("\n") if a]
+    # polish uses the PB invocation with contigs as target, reads as
+    # query (CONSENT-polish:189)
+    assert argv == [
+        "--dual=yes", "-PD", "--no-long-join", "-w5", "-g1000",
+        "-m30", "-n1", "-t", "2", "-I", "1G",
+        str(asm_fa), str(reads_fa),
+    ]
+
+    srt = tmp_path / "srt.paf"
+    ref = tmp_path / "ref.paf"
+    paf_mod.sort_by_target(str(canned), str(srt))
+    paf_mod.reformat_file(str(srt), str(ref))
+    out_paf = tmp_path / "paf.fasta"
+    rc = cli.main_polish(
+        ["--contigs", str(asm_fa), "--reads", str(reads_fa),
+         "--out", str(out_paf), "--paf", str(ref)] + flags
+    )
+    assert rc == 0
+    assert out_mm.read_text() == out_paf.read_text()
+    assert out_mm.read_text()

@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from consent_tpu.io import seqs
@@ -180,9 +181,102 @@ def test_wire_format_roundtrip_matches_unpacked():
         jnp.asarray(buf), S=S, Pb=Lf // 4, Lt=W,
         min_column_support=2, scoring=sc,
     )
-    votes = cons_ops.wire_decode_votes(np.asarray(out), W)
-    wire_cons = cons_ops.assemble_consensus_batch(votes, tpl_len.tolist())
+    votes, w_len = cons_ops.wire_decode_votes(np.asarray(out), W)
+    assert np.array_equal(w_len, tpl_len)  # rounds=1: pass-through
+    wire_cons = cons_ops.assemble_consensus_batch(votes, w_len.tolist())
     for a, b in zip(ref_cons, wire_cons):
+        assert np.array_equal(a, b)
+
+
+def _random_vote_inputs(seed, B=6, S=8, Lf=128, W=128):
+    rng = np.random.default_rng(seed)
+    frags = rng.integers(0, 4, (B, S, Lf)).astype(np.uint8)
+    frag_len = rng.integers(Lf // 2, Lf + 1, (B, S)).astype(np.int32)
+    tpl = rng.integers(0, 4, (B, W)).astype(np.uint8)
+    tpl_len = rng.integers(W // 2, W + 1, B).astype(np.int32)
+    d0 = rng.integers(-4, 5, (B, S)).astype(np.int32)
+    return frags, frag_len, tpl, tpl_len, d0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_assemble_template_device_matches_host(seed):
+    """Device-side template assembly (the fused-rounds building block)
+    must be BIT-equal to the host assemble + truncate-to-Lt chain it
+    replaces (engine.py's former between-rounds host round trip)."""
+    from consent_tpu.ops import consensus as cons_ops
+    from consent_tpu.ops.align import Scoring
+
+    frags, frag_len, tpl, tpl_len, d0 = _random_vote_inputs(seed)
+    B, W = tpl.shape
+    Lt = W
+    sc = Scoring(max_hgap=16, band=128)
+    v = cons_ops.consensus_votes(
+        jnp.asarray(frags), jnp.asarray(frag_len), jnp.asarray(tpl),
+        jnp.asarray(tpl_len), S=frags.shape[1], min_column_support=2,
+        scoring=sc, frag_d0=jnp.asarray(d0),
+    )
+    host = cons_ops.assemble_consensus_batch(
+        jax.tree.map(np.asarray, v), tpl_len.tolist()
+    )
+    dev_tpl, dev_len = cons_ops.assemble_template_device(
+        v, jnp.asarray(tpl_len), Lt
+    )
+    dev_tpl, dev_len = np.asarray(dev_tpl), np.asarray(dev_len)
+    for b in range(B):
+        want = host[b][:Lt]
+        assert dev_len[b] == len(want), f"window {b}"
+        assert np.array_equal(dev_tpl[b, : len(want)], want), f"window {b}"
+        assert not dev_tpl[b, len(want):].any()
+
+
+@pytest.mark.parametrize("rounds", [2, 3])
+def test_fused_rounds_match_sequential_host_loop(rounds):
+    """consensus_votes_rounds (all rounds in one device computation)
+    must reproduce the former engine loop exactly: votes -> host
+    assemble -> truncate to Lt -> redispatch as the next template."""
+    from consent_tpu.ops import consensus as cons_ops
+    from consent_tpu.ops.align import Scoring
+
+    frags, frag_len, tpl, tpl_len, d0 = _random_vote_inputs(7 + rounds)
+    B, W = tpl.shape
+    S = frags.shape[1]
+    Lt = W
+    sc = Scoring(max_hgap=16, band=128)
+
+    def votes_of(t, tl):
+        return cons_ops.consensus_votes(
+            jnp.asarray(frags), jnp.asarray(frag_len), jnp.asarray(t),
+            jnp.asarray(tl), S=S, min_column_support=2, scoring=sc,
+            frag_d0=jnp.asarray(d0),
+        )
+
+    # sequential reference: the pre-fusion engine flow
+    cur_t, cur_l = tpl, tpl_len
+    for _ in range(rounds - 1):
+        v = votes_of(cur_t, cur_l)
+        cons = cons_ops.assemble_consensus_batch(
+            jax.tree.map(np.asarray, v), cur_l.tolist()
+        )
+        nt = np.zeros((B, Lt), np.uint8)
+        nl = np.zeros(B, np.int32)
+        for b, c in enumerate(cons):
+            L = min(len(c), Lt)
+            nt[b, :L] = c[:L]
+            nl[b] = L
+        cur_t, cur_l = nt, nl
+    want = jax.tree.map(np.asarray, votes_of(cur_t, cur_l))
+    want_cons = cons_ops.assemble_consensus_batch(want, cur_l.tolist())
+
+    got, w_len = cons_ops.consensus_votes_rounds(
+        jnp.asarray(frags), jnp.asarray(frag_len), jnp.asarray(tpl),
+        jnp.asarray(tpl_len), S=S, rounds=rounds,
+        min_column_support=2, scoring=sc, frag_d0=jnp.asarray(d0),
+    )
+    assert np.array_equal(np.asarray(w_len), cur_l)
+    got_cons = cons_ops.assemble_consensus_batch(
+        jax.tree.map(np.asarray, got), np.asarray(w_len).tolist()
+    )
+    for a, b in zip(want_cons, got_cons):
         assert np.array_equal(a, b)
 
 

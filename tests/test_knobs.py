@@ -228,3 +228,27 @@ def test_engine_frag_axis_matches_single_device():
             for name, codes, solid in _tiny_engine_run(cfg)
         ]
     assert outs[(1, 1)] == outs[(8, 4)] == outs[(8, None)]
+
+
+def test_engine_fused_rounds_device_identity():
+    """consensus_rounds=2 runs fused in ONE dispatch (device-side
+    between-round assembly); output must be byte-identical on 1 vs 8
+    devices AND on the (data, frag) deep-pile mesh."""
+    from consent_tpu.config import polish_preset
+
+    outs = {}
+    cases = (
+        ("single", dict(n_devices=1)),
+        ("data8", dict(n_devices=8)),
+        ("frag", dict(n_devices=8, frag_devices=4, device_lanes=8)),
+    )
+    for tag, kw in cases:
+        cfg = polish_preset(
+            window_size=128, window_overlap=16, min_support=2,
+            consensus_rounds=2, **kw,
+        )
+        outs[tag] = [
+            (name, codes.tobytes(), solid.tobytes())
+            for name, codes, solid in _tiny_engine_run(cfg)
+        ]
+    assert outs["single"] == outs["data8"] == outs["frag"]

@@ -166,3 +166,56 @@ def test_host_post_window_native_matches_python(seed=5):
         assert np.array_equal(g_solid, w_solid), f"case {case} solid"
         assert np.array_equal(g_sparse.kmers, w_sparse.kmers)
         assert np.array_equal(g_sparse.counts, w_sparse.counts)
+
+
+def test_host_post_batch_native_matches_window_calls(seed=11):
+    """host_post_batch (one ctypes call per window slice) must be
+    byte-identical per window to host_post_window_native, including
+    the sorted sparse-count keys/values and all three status paths
+    (polish / anchor-gate template fallback / short consensus)."""
+    rng = np.random.default_rng(seed)
+    k, solid_thresh, max_branches, zone = 9, 4, 50, 3
+    frag_lists, cons_list, sups, mins = [], [], [], []
+    for case in range(60):
+        tpl = rng.integers(0, 4, int(rng.integers(5, 400))).astype(
+            np.uint8
+        )
+        n_frags = int(rng.integers(1, 12))
+        frags = [tpl]
+        for _ in range(n_frags - 1):
+            f = tpl.copy()
+            if len(f) >= 10:
+                pos = rng.integers(0, len(f), max(1, len(f) // 10))
+                f[pos] = (f[pos] + 1 + rng.integers(0, 3, len(pos))) % 4
+            frags.append(f)
+        cons = tpl.copy()
+        if len(cons) > 20:
+            pos = rng.integers(0, len(cons), len(cons) // 15 + 1)
+            cons[pos] = (cons[pos] + 1) % 4
+        frag_lists.append(frags)
+        cons_list.append(cons)
+        sups.append(min(8, len(frags) // 2))
+        mins.append(int(rng.integers(1, 4)))
+
+    # batch call runs with ONE min_anchors; group by value
+    for ma in sorted(set(mins)):
+        idx = [i for i, m in enumerate(mins) if m == ma]
+        got = native.host_post_batch_native(
+            [frag_lists[i] for i in idx],
+            [cons_list[i] for i in idx],
+            [sups[i] for i in idx],
+            k, solid_thresh, max_branches, zone, ma,
+        )
+        assert got is not None
+        for j, i in enumerate(idx):
+            want = native.host_post_window_native(
+                frag_lists[i], cons_list[i], k, solid_thresh,
+                max_branches, zone, ma, sups[i],
+            )
+            assert want is not None
+            g_codes, g_solid, g_sparse = got[j]
+            w_codes, w_solid, w_sparse = want
+            assert np.array_equal(g_codes, w_codes), f"win {i} codes"
+            assert np.array_equal(g_solid, w_solid), f"win {i} solid"
+            assert np.array_equal(g_sparse.kmers, w_sparse.kmers)
+            assert np.array_equal(g_sparse.counts, w_sparse.counts)
