@@ -127,10 +127,15 @@ def _run_minimap2(kind, reads_type, target, query, out_paf, nproc, tmpdir,
         subprocess.run(cmd, stdout=f, check=True)
 
 
-def _piles_from_file(path, max_support):
+def _piles_from_file(path, max_support, unlink=False):
     """Pile iterator over a PAF file; the handle closes on exhaustion
-    (or GC) instead of leaking."""
+    (or GC) instead of leaking.  unlink=True removes the file as soon
+    as it is opened (POSIX keeps the open handle readable) — used for
+    the post-minimap2 intermediates so interrupted runs leave nothing
+    behind in --tmpdir."""
     with open(path) as f:
+        if unlink:
+            os.unlink(path)
         yield from paf_mod.iter_piles(f, max_support)
 
 
@@ -152,7 +157,7 @@ def _correct_pile_stream(args, index):
         grouped = tmp.name + ".grouped"
         paf_mod.group_paf_by_query(tmp.name, grouped)
         os.unlink(tmp.name)
-        return _piles_from_file(grouped, args.maxSupport)
+        return _piles_from_file(grouped, args.maxSupport, unlink=True)
     # native overlapper
     from consent_tpu.overlap import minimizer as mz
 
@@ -370,7 +375,7 @@ def _polish_pile_stream(args, contig_index, read_index):
         paf_mod.reformat_file(srt, ref)
         os.unlink(raw.name)
         os.unlink(srt)
-        return _piles_from_file(ref, args.maxSupport)
+        return _piles_from_file(ref, args.maxSupport, unlink=True)
     from consent_tpu.overlap import minimizer as mz
 
     contigs = [(n, contig_index[n]) for n in contig_index.names()]

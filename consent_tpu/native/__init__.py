@@ -106,6 +106,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i64p,
         ]
         lib.local_align_span.restype = ctypes.c_int64
+        lib.stitch_apply_step.argtypes = [
+            u8p, u8p, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, ctypes.c_int64,
+            i64p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int64,
+            i64p,
+        ]
+        lib.stitch_apply_step.restype = None
         _lib = lib
         return _lib
 
@@ -340,6 +357,71 @@ def assemble_windows_native(col_base, col_del, ins_len, ins_pack,
     if n < 0:
         return None
     return [out[offs[b] : offs[b + 1]] for b in range(B)]
+
+
+_EMPTY_I64 = np.zeros(1, dtype=np.int64)
+_EMPTY_I32 = np.zeros(1, dtype=np.int32)
+_EMPTY_U8 = np.zeros(1, dtype=np.uint8)
+
+
+def stitch_apply_native(out_c, out_s, cons_c, cons_s, raw_cons_len,
+                        span, al_pos, i_window, old_end,
+                        old_c, old_s, old_keys, old_vals,
+                        cur_keys, cur_vals, k, solid_thresh,
+                        scoring, track_old):
+    """One StitchJob.apply step in native code; returns
+    (new_out_c, new_out_s, spliced_c, spliced_s, new_old_end, tracked)
+    or None if the library is unavailable.  out_s/cons_s/old_s are
+    uint8 0/1 arrays; outputs keep that convention (the caller views
+    them as bool)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cur_len = len(out_c)
+    q_begin, q_end, r_begin, r_end = span
+    cons_piece = q_end - q_begin + 1
+    out_cap = cur_len + cons_piece + 16
+    new_out_c = np.empty(out_cap, dtype=np.uint8)
+    new_out_s = np.empty(out_cap, dtype=np.uint8)
+    cur_cap = cons_piece + max(0, old_end - (r_begin + al_pos) + 1) + 16
+    new_cur_c = np.empty(cur_cap, dtype=np.uint8)
+    new_cur_s = np.empty(cur_cap, dtype=np.uint8)
+    meta = np.zeros(8, dtype=np.int64)
+    has_old = old_c is not None
+    lib.stitch_apply_step(
+        out_c, out_s, cur_len,
+        cons_c, cons_s, len(cons_c), raw_cons_len,
+        q_begin, q_end, r_begin, r_end,
+        al_pos, i_window, old_end,
+        old_c if has_old else _EMPTY_U8,
+        old_s if has_old else _EMPTY_U8,
+        len(old_c) if has_old else 0,
+        1 if has_old else 0,
+        old_keys if old_keys is not None else _EMPTY_I64,
+        old_vals if old_vals is not None else _EMPTY_I32,
+        len(old_keys) if old_keys is not None else 0,
+        cur_keys, cur_vals, len(cur_keys),
+        k, solid_thresh,
+        scoring["match"], scoring["mismatch"],
+        scoring["gap_open"], scoring["gap_extend"],
+        1 if track_old else 0,
+        new_out_c, new_out_s, out_cap,
+        new_cur_c, new_cur_s, cur_cap,
+        meta,
+    )
+    if meta[0] < 0:
+        return None
+    modified = bool(meta[4])
+    spliced = int(meta[1])
+    return (
+        new_out_c[: meta[0]] if modified else None,
+        new_out_s[: meta[0]] if modified else None,
+        new_cur_c[:spliced] if meta[3] else None,
+        new_cur_s[:spliced] if meta[3] else None,
+        int(meta[2]),
+        bool(meta[3]),
+        spliced,
+    )
 
 
 def local_align_native(q, r, match=2, mismatch=-2, gap_open=3, gap_extend=1):

@@ -412,6 +412,158 @@ int64_t polish_correction(
 
 }  // extern "C"
 
+extern "C" int64_t local_align_span(
+    const uint8_t* q, int64_t lq, const uint8_t* r, int64_t lr,
+    int match, int mismatch, int gap_open, int gap_ext, int64_t* out);
+
+// ---------------------------------------------------------------------------
+// One stitch apply step (pipeline/stitch.py StitchJob.apply, reference
+// alignConsensus splice loop, correctionAlignment.cpp:79-135): overlap
+// arbitration by solid k-mer counts (+ the reference's min(len1,len2)
+// ref-clamped sub-alignment, :110) and the window splice, in one
+// native call.  The per-window numpy glue (kmer_codes + searchsorted +
+// concatenate) dominated stitch.apply under the host pools.
+
+namespace {
+
+// occurrences of seq's k-mers with count >= thresh in a sorted
+// (keys, vals) table — SparseCounts.n_solid semantics (multiplicity
+// counted per occurrence)
+int64_t n_solid_kmers(const uint8_t* seq, int64_t n, int k,
+                      const int64_t* keys, const int32_t* vals,
+                      int64_t n_keys, int thresh) {
+    if (n < k || n_keys == 0) return 0;
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t km = 0;
+    for (int i = 0; i < k - 1; i++) km = (km << 2) | seq[i];
+    int64_t cnt = 0;
+    for (int64_t p = 0; p + k <= n; p++) {
+        km = ((km << 2) | seq[p + k - 1]) & mask;
+        const int64_t* it =
+            std::lower_bound(keys, keys + n_keys, (int64_t)km);
+        if (it != keys + n_keys && *it == (int64_t)km &&
+            vals[it - keys] >= thresh)
+            cnt++;
+    }
+    return cnt;
+}
+
+}  // namespace
+
+// out_meta: [0]=new out length (-1 if cap too small), [1]=spliced cur
+// length, [2]=new old_end, [3]=track flag actually applied (0/1).
+extern "C" void stitch_apply_step(
+    const uint8_t* out_c, const uint8_t* out_s, int64_t cur_len,
+    const uint8_t* cons_c, const uint8_t* cons_s, int64_t cons_n,
+    int64_t raw_cons_len,
+    int64_t q_begin, int64_t q_end, int64_t r_begin, int64_t r_end,
+    int64_t al_pos, int64_t i_window, int64_t old_end,
+    const uint8_t* old_c, const uint8_t* old_s, int64_t old_len,
+    int64_t has_old,
+    const int64_t* old_keys, const int32_t* old_vals, int64_t n_old,
+    const int64_t* cur_keys, const int32_t* cur_vals, int64_t n_cur,
+    int k, int solid_thresh,
+    int match, int mismatch, int gap_open, int gap_ext,
+    int64_t track_old,
+    uint8_t* new_out_c, uint8_t* new_out_s, int64_t out_cap,
+    uint8_t* new_cur_c, uint8_t* new_cur_s, int64_t cur_cap,
+    int64_t* out_meta) {
+    const int64_t beg = r_begin + al_pos;
+    const int64_t end = r_end + al_pos;
+    // cur = cons[q_begin..q_end]
+    std::vector<uint8_t> cur(cons_c + q_begin, cons_c + q_end + 1);
+    std::vector<uint8_t> curs(cons_s + q_begin, cons_s + q_end + 1);
+
+    // ---- overlap arbitration with the previous window ----
+    if (i_window != 0 && old_end >= beg && has_old) {
+        const int64_t overlap = old_end - beg + 1;
+        if (raw_cons_len >= k && old_len >= overlap &&
+            (int64_t)cur.size() >= overlap) {
+            const uint8_t* s1 = old_c + (old_len - overlap);
+            const uint8_t* s1s = old_s + (old_len - overlap);
+            if (memcmp(s1, cur.data(), overlap) != 0) {
+                int64_t sm1, sm2;
+                if (overlap >= k) {
+                    sm1 = n_solid_kmers(s1, overlap, k, old_keys,
+                                        old_vals, n_old, solid_thresh);
+                    sm2 = n_solid_kmers(cur.data(), overlap, k,
+                                        cur_keys, cur_vals, n_cur,
+                                        solid_thresh);
+                } else {
+                    sm1 = 0;
+                    for (int64_t i = 0; i < overlap; i++) sm1 += s1s[i];
+                    sm2 = 0;
+                    for (int64_t i = 0; i < overlap; i++)
+                        sm2 += curs[i];
+                }
+                if (sm1 > sm2) {
+                    // keep the previous window's overlap; the
+                    // reference clamps the ref side to min(len1,len2)
+                    // (correctionAlignment.cpp:110)
+                    int64_t sub[7];
+                    local_align_span(s1, overlap, cur.data(), overlap,
+                                     match, mismatch, gap_open,
+                                     gap_ext, sub);
+                    const int64_t cut = overlap - sub[5] + sub[6];
+                    if (cut < (int64_t)cur.size()) {
+                        std::vector<uint8_t> nc(s1, s1 + overlap);
+                        nc.insert(nc.end(), cur.begin() + cut,
+                                  cur.end());
+                        std::vector<uint8_t> ns(s1s, s1s + overlap);
+                        ns.insert(ns.end(), curs.begin() + cut,
+                                  curs.end());
+                        cur.swap(nc);
+                        curs.swap(ns);
+                    } else {
+                        cur.clear();
+                        curs.clear();
+                    }
+                }
+            }
+        }
+    }
+
+    // ---- splice ----
+    int64_t new_len = cur_len;
+    int64_t spliced = (int64_t)cur.size();
+    int64_t new_old_end = old_end;
+    int64_t tracked = 0;
+    int64_t modified = 0;
+    if (!cur.empty()) {
+        if (raw_cons_len >= k) {
+            new_len = beg + (int64_t)cur.size() + (cur_len - end - 1);
+            if (new_len > out_cap || spliced > cur_cap) {
+                out_meta[0] = -1;
+                return;
+            }
+            memcpy(new_out_c, out_c, beg);
+            memcpy(new_out_c + beg, cur.data(), cur.size());
+            memcpy(new_out_c + beg + cur.size(), out_c + end + 1,
+                   cur_len - end - 1);
+            memcpy(new_out_s, out_s, beg);
+            memset(new_out_s + beg, 1, cur.size());
+            memcpy(new_out_s + beg + cur.size(), out_s + end + 1,
+                   cur_len - end - 1);
+            modified = 1;
+        }
+        if (track_old) {
+            if (spliced > cur_cap) {
+                out_meta[0] = -1;
+                return;
+            }
+            memcpy(new_cur_c, cur.data(), cur.size());
+            memcpy(new_cur_s, curs.data(), curs.size());
+            new_old_end = beg + (int64_t)cur.size() - 1;
+            tracked = 1;
+        }
+    }
+    out_meta[0] = new_len;
+    out_meta[1] = spliced;
+    out_meta[2] = new_old_end;
+    out_meta[3] = tracked;
+    out_meta[4] = modified;
+}
+
 // ---------------------------------------------------------------------------
 // affine-gap local alignment with traceback (host-side small alignments:
 // the stitcher's overlap arbitration, reference correctionAlignment.cpp:110)

@@ -589,10 +589,22 @@ def _bitcast32(u8):
     )
 
 
+def pack_bases_device(codes: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of unpack_bases: [..., L] codes -> [..., L//4]
+    bytes (LSB first), matching pack_bases_host."""
+    x = codes.reshape(*codes.shape[:-1], -1, 4).astype(jnp.uint8)
+    return (
+        x[..., 0]
+        | (x[..., 1] << 2)
+        | (x[..., 2] << 4)
+        | (x[..., 3] << 6)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "Pb", "Lt", "min_column_support", "scoring",
-                     "axis_name", "rounds"),
+                     "axis_name", "rounds", "assemble_out"),
 )
 def consensus_votes_wire(
     buf: jnp.ndarray,  # [B, S*Pb + 4S + Lt + 4 + 4S] uint8
@@ -604,11 +616,19 @@ def consensus_votes_wire(
     scoring: align_ops.Scoring = align_ops.Scoring(),
     axis_name: str | None = None,
     rounds: int = 1,
-) -> jnp.ndarray:      # [B, 7*Lt + 20] uint8
+    assemble_out: bool = False,
+) -> jnp.ndarray:      # [B, 7*Lt + 20] u8, or [B, Lt//4 + 4] assembled
     """All `rounds` refinement rounds in ONE dispatch (the round-1
     consensus is assembled on device and realigned against; see
     assemble_template_device) — each window round-trips its packed
-    votes exactly once regardless of consensus_rounds."""
+    votes exactly once regardless of consensus_rounds.
+
+    assemble_out=True (the production path) ALSO assembles the final
+    consensus on device and returns only its 2-bit-packed codes +
+    length — [B, Lt//4 + 4] bytes instead of [B, 7*Lt + 20], a ~27x
+    smaller download for the latency-bound device->host link.  The
+    result is bit-equal to host-assembling the final votes and
+    truncating to Lt (which the host post chain did anyway)."""
     B = buf.shape[0]
     o = 0
     frags = unpack_bases(buf[:, : S * Pb].reshape(B, S, Pb), Pb * 4)
@@ -627,12 +647,19 @@ def consensus_votes_wire(
         frag_d0=frag_d0 if scoring.band else None,
         axis_name=axis_name,
     )
-    v = pack_votes(votes)
 
     def u8_32(x):  # int32[...] -> uint8[..., flattened bytes]
         y = jax.lax.bitcast_convert_type(x, jnp.uint8)
         return y.reshape(B, -1)
 
+    if assemble_out:
+        cons, cons_len = assemble_template_device(votes, w_len, Lt)
+        return jnp.concatenate(
+            [pack_bases_device(cons), u8_32(cons_len[:, None])],
+            axis=1,
+        )
+
+    v = pack_votes(votes)
     return jnp.concatenate(
         [
             v.col_base.astype(jnp.uint8),
@@ -647,6 +674,18 @@ def consensus_votes_wire(
         ],
         axis=1,
     )
+
+
+def wire_decode_cons(arr: np.ndarray, Lt: int) -> list:
+    """Host inverse of the assemble_out wire layout: list of per-window
+    consensus code arrays (uint8, true lengths)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    Pb = Lt // 4
+    packed = arr[:, :Pb]
+    lens = arr[:, Pb : Pb + 4].copy().view(np.int32)[:, 0]
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    codes = ((packed[:, :, None] >> shifts) & 3).reshape(len(arr), Lt)
+    return [codes[b, : lens[b]] for b in range(len(arr))]
 
 
 def wire_decode_votes(arr: np.ndarray, W: int

@@ -256,25 +256,62 @@ def all_vs_all_piles(
     reads: Sequence[Tuple[str, np.ndarray]],
     params: OverlapParams = OverlapParams(),
     max_support: int = 150,
+    n_workers: int | None = None,
 ) -> Iterator[Pile]:
     """Self-overlap piles for (name, codes) reads, query order =
-    input order (the reference's PAF streaming order)."""
+    input order (the reference's PAF streaming order).
+
+    Queries map in parallel on a thread pool (the numpy joins release
+    the GIL) with a bounded in-flight window, so emission stays
+    streaming-ordered — the host-side analogue of minimap2's -t
+    (the reference's overlap stage is multithreaded too,
+    CONSENT-correct:185)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     index = MinimizerIndex(params)
     for name, codes in reads:
         index.add(name, codes)
     index.build()
-    for name, codes in reads:
+
+    def pile_of(item):
+        name, codes = item
         rows = map_query(index, name, codes, skip_self=True)
         if not rows:
-            continue
+            return None
         names = [t for _, t, _ in rows]
         ov = np.array([r for _, _, r in rows], dtype=OVERLAP_DTYPE)
         order = np.argsort(-ov["matches"], kind="stable")[:max_support]
-        yield Pile(
+        return Pile(
             q_name=name,
             t_names=[names[i] for i in order],
             ov=ov[order],
         )
+
+    nw = n_workers or os.cpu_count() or 1
+    if nw <= 1 or len(reads) < 8:
+        for item in reads:
+            p = pile_of(item)
+            if p is not None:
+                yield p
+        return
+    import collections
+
+    with ThreadPoolExecutor(max_workers=nw) as pool:
+        # bounded in-flight window: order-preserving AND memory-
+        # bounded (an eager pool.map would buffer every pile when the
+        # consumer lags)
+        it = iter(reads)
+        futs: collections.deque = collections.deque()
+        for item in list(__import__("itertools").islice(it, nw * 4)):
+            futs.append(pool.submit(pile_of, item))
+        while futs:
+            p = futs.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                futs.append(pool.submit(pile_of, nxt))
+            if p is not None:
+                yield p
 
 
 def map_to_targets_piles(

@@ -76,6 +76,7 @@ def sharded_votes_fn(
     packed: bool = False,
     frags_packed: bool = False,
     rounds: int = 1,
+    assemble_out: bool = False,
 ):
     """jit(shard_map(consensus_votes)) over the mesh.
 
@@ -99,7 +100,7 @@ def sharded_votes_fn(
     def body(frags, frag_len, tpl, tpl_len, frag_d0=None):
         if frags_packed:
             frags = cons_ops.unpack_bases(frags, frags.shape[-1] * 4)
-        if rounds > 1:
+        if rounds > 1 or assemble_out:
             v, w_len = cons_ops.consensus_votes_rounds(
                 frags, frag_len, tpl, tpl_len,
                 S=S_local, rounds=rounds,
@@ -108,6 +109,13 @@ def sharded_votes_fn(
                 frag_d0=frag_d0,
                 axis_name=axis_name,
             )
+            if assemble_out:
+                # votes are full reductions (psum'd over frag), so
+                # every shard assembles the identical consensus
+                cons, cl = cons_ops.assemble_template_device(
+                    v, w_len, tpl.shape[1]
+                )
+                return cons_ops.pack_bases_device(cons), cl
             return (cons_ops.pack_votes(v) if packed else v), w_len
         v = cons_ops.consensus_votes(
             frags, frag_len, tpl, tpl_len,
@@ -151,7 +159,9 @@ def sharded_votes_fn(
             suf_len=P("data"),
             suf_base=P("data", None),
         )
-    if rounds > 1:
+    if assemble_out:
+        out_specs = (P("data", None), P("data"))
+    elif rounds > 1:
         out_specs = (out_specs, P("data"))
     fn = jax.shard_map(
         body,
@@ -165,12 +175,12 @@ def sharded_votes_fn(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
-                     rounds):
+                     rounds, assemble_out=False):
     def body(buf):
         return cons_ops.consensus_votes_wire(
             buf, S=S, Pb=Pb, Lt=Lt,
             min_column_support=min_column_support, scoring=scoring,
-            rounds=rounds,
+            rounds=rounds, assemble_out=assemble_out,
         )
 
     fn = jax.shard_map(
@@ -181,13 +191,14 @@ def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
 
 
 def sharded_wire_step(mesh, buf, *, S, Pb, Lt, min_column_support,
-                      scoring, rounds=1):
+                      scoring, rounds=1, assemble_out=False):
     """Wire-format consensus step sharded over the `data` mesh axis
     (the engine's production path: one upload + one download buffer
     per call, split over all local devices; all refinement rounds
-    fused into the one dispatch)."""
+    fused into the one dispatch, and with assemble_out the download
+    is just the packed assembled consensus)."""
     fn = _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
-                          rounds)
+                          rounds, assemble_out)
     return fn(jax.device_put(buf, NamedSharding(mesh, P("data", None))))
 
 
@@ -205,6 +216,7 @@ def sharded_consensus_step(
     packed: bool = False,
     frags_packed: bool = False,
     rounds: int = 1,
+    assemble_out: bool = False,
 ):
     """One device-parallel consensus step: window batch split over
     `data`, fragment slots over `frag` (vote reductions become
@@ -212,10 +224,11 @@ def sharded_consensus_step(
     leading dim B divisible by the data-axis size (and S by the frag
     size).  packed=True returns the wire-format PackedVotes; with
     rounds > 1 the refinement rounds are device-fused and the result
-    is (votes, final template lengths)."""
+    is (votes, final template lengths); assemble_out=True returns the
+    2-bit-packed assembled consensus + lengths instead of votes."""
     fn = sharded_votes_fn(
         mesh, S, min_column_support, scoring, frag_d0 is not None,
-        packed, frags_packed, rounds,
+        packed, frags_packed, rounds, assemble_out,
     )
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     frag = "frag" if axes.get("frag", 1) > 1 else None

@@ -40,16 +40,35 @@ def _spans_body(q, ql, r, rl):
     return s.q_begin, s.q_end, s.r_begin, s.r_end, s.valid
 
 
-_spans_jit = jax.jit(_spans_body)
+@functools.partial(jax.jit, static_argnames=("Lq", "Lr"))
+def _spans_wire_body(buf, *, Lq: int, Lr: int):
+    """Single-buffer variant: ONE upload (2-bit packed q|r + lengths)
+    and ONE [N, 5] int32 download — the per-array transfers each pay a
+    fixed round trip on the latency-bound tunnel link, and a stitch
+    round is nine of them otherwise."""
+    from consent_tpu.ops.consensus import _bitcast32, unpack_bases
+
+    N = buf.shape[0]
+    o = 0
+    q = unpack_bases(buf[:, : Lq // 4], Lq)
+    o += Lq // 4
+    r = unpack_bases(buf[:, o : o + Lr // 4], Lr)
+    o += Lr // 4
+    ql = _bitcast32(buf[:, o : o + 4])[:, 0]
+    rl = _bitcast32(buf[:, o + 4 : o + 8])[:, 0]
+    qb, qe, rb, re, valid = _spans_body(q, ql, r, rl)
+    return jnp.stack(
+        [qb, qe, rb, re, valid.astype(jnp.int32)], axis=1
+    ).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_spans_fn(mesh: Mesh):
+def _sharded_spans_wire_fn(mesh: Mesh, Lq: int, Lr: int):
     fn = jax.shard_map(
-        _spans_body,
+        functools.partial(_spans_wire_body, Lq=Lq, Lr=Lr),
         mesh=mesh,
-        in_specs=(P("data", None), P("data"), P("data", None), P("data")),
-        out_specs=(P("data"),) * 5,
+        in_specs=(P("data", None),),
+        out_specs=P("data", None),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -94,6 +113,8 @@ def make_fixed_aligner(cfg, mesh: Optional[Mesh] = None) -> "BatchAlignFn":
 
 
 def _one_call(qs, rs, fixed_len=None, mesh=None):
+    from consent_tpu.ops.consensus import pack_bases_host
+
     n = len(qs)
     lanes = _next_pow2(n)
     if mesh is not None:
@@ -106,27 +127,25 @@ def _one_call(qs, rs, fixed_len=None, mesh=None):
         Lr = max(Lr, fixed_len)
     q = np.zeros((lanes, Lq), dtype=np.uint8)
     r = np.zeros((lanes, Lr), dtype=np.uint8)
-    ql = np.zeros(lanes, dtype=np.int32)
-    rl = np.zeros(lanes, dtype=np.int32)
+    ln = np.zeros((lanes, 2), dtype=np.int32)
     for i, (a, b) in enumerate(zip(qs, rs)):
         q[i, : len(a)] = a
         r[i, : len(b)] = b
-        ql[i] = len(a)
-        rl[i] = len(b)
+        ln[i, 0] = len(a)
+        ln[i, 1] = len(b)
+    buf = np.concatenate(
+        [pack_bases_host(q), pack_bases_host(r), ln.view(np.uint8)],
+        axis=1,
+    )
     if mesh is not None:
-        sh2 = NamedSharding(mesh, P("data", None))
-        sh1 = NamedSharding(mesh, P("data"))
-        args = (
-            jax.device_put(q, sh2), jax.device_put(ql, sh1),
-            jax.device_put(r, sh2), jax.device_put(rl, sh1),
+        dev = _sharded_spans_wire_fn(mesh, Lq, Lr)(
+            jax.device_put(buf, NamedSharding(mesh, P("data", None)))
         )
-        qb, qe, rb, re, valid = jax.device_get(_sharded_spans_fn(mesh)(*args))
     else:
-        qb, qe, rb, re, valid = jax.device_get(
-            _spans_jit(jnp.array(q), jnp.array(ql), jnp.array(r),
-                       jnp.array(rl))
-        )
+        dev = _spans_wire_body(jnp.asarray(buf), Lq=Lq, Lr=Lr)
+    out = np.asarray(dev)
     return [
-        AlignSpan(int(qb[i]), int(qe[i]), int(rb[i]), int(re[i]), bool(valid[i]))
+        AlignSpan(int(out[i, 0]), int(out[i, 1]), int(out[i, 2]),
+                  int(out[i, 3]), bool(out[i, 4]))
         for i in range(n)
     ]

@@ -181,14 +181,13 @@ class ConsensusEngine:
                 self._job_chain(*p)
 
     def _job_chain(self, sub, S, tpl_len, dev):
-        """One fetch -> one host assemble -> host post per batch (the
-        refinement rounds already ran fused inside the dispatch)."""
+        """One fetch -> host post per batch: the refinement rounds AND
+        the final consensus assembly already ran fused inside the
+        dispatch — the download is the 2-bit-packed consensus (~170
+        bytes/window instead of ~4.5 KB of votes on the latency-bound
+        tunnel link)."""
         with STATS.timer("consensus.device_votes", len(sub)):
-            votes, w_len = self._fetch_votes(dev, tpl_len)
-        with STATS.timer("consensus.assemble", len(sub)):
-            cons_list = cons_ops.assemble_consensus_batch(
-                votes, w_len.tolist()
-            )
+            cons_list = self._fetch_cons(dev, tpl_len)
         self._host_post(sub, S, cons_list)
 
     def _max_b(self, S: int) -> int:
@@ -256,6 +255,7 @@ class ConsensusEngine:
                 scoring=self.scoring,
                 frag_d0=frag_d0 if self.scoring.band else None,
                 packed=True, frags_packed=True, rounds=rounds,
+                assemble_out=True,
             )
         buf = cons_ops.wire_encode_inputs(
             frags, frag_len, tpl, tpl_len, frag_d0
@@ -268,28 +268,26 @@ class ConsensusEngine:
                 self.mesh, buf, S=S, Pb=Pb, Lt=self.Lt,
                 min_column_support=cfg.min_column_support,
                 scoring=self.scoring, rounds=rounds,
+                assemble_out=True,
             )
         return cons_ops.consensus_votes_wire(
             jnp.asarray(buf), S=S, Pb=Pb, Lt=self.Lt,
             min_column_support=cfg.min_column_support,
-            scoring=self.scoring, rounds=rounds,
+            scoring=self.scoring, rounds=rounds, assemble_out=True,
         )
 
-    def _fetch_votes(self, dev, tpl_len):
-        """-> (PackedVotes, final-round template lengths [B])."""
-        if isinstance(dev, cons_ops.PackedVotes):  # frag-axis, 1 round
-            return (
-                cons_ops.PackedVotes(*[np.asarray(x) for x in dev]),
-                tpl_len,
+    def _fetch_cons(self, dev, tpl_len):
+        """-> list of per-window assembled consensus code arrays."""
+        if isinstance(dev, tuple) and not isinstance(dev, cons_ops.PackedVotes):
+            # frag-axis assemble_out path: (packed codes, lengths)
+            packed, lens = np.asarray(dev[0]), np.asarray(dev[1])
+            Lt = packed.shape[1] * 4
+            shifts = np.arange(4, dtype=np.uint8) * 2
+            codes = ((packed[:, :, None] >> shifts) & 3).reshape(
+                len(packed), Lt
             )
-        # NamedTuple check must come first: PackedVotes IS a tuple
-        if isinstance(dev, tuple):  # frag-axis fused path
-            votes, w_len = dev
-            return (
-                cons_ops.PackedVotes(*[np.asarray(x) for x in votes]),
-                np.asarray(w_len),
-            )
-        return cons_ops.wire_decode_votes(np.asarray(dev), self.Lt)
+            return [codes[b, : lens[b]] for b in range(len(packed))]
+        return cons_ops.wire_decode_cons(np.asarray(dev), self.Lt)
 
     def _host_post(self, ts, S, cons_list):
         """Host post-processing: counts, anchor gate, weighting, DBG

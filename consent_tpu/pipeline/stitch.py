@@ -128,6 +128,9 @@ class StitchJob:
             self.i += 1
             return
 
+        if self._apply_native(span, cons_c, cons_s, raw_cons_len):
+            return
+
         beg = span.r_begin + self._al_pos
         end = span.r_end + self._al_pos
         cur_c = cons_c[span.q_begin : span.q_end + 1]
@@ -207,6 +210,56 @@ class StitchJob:
                 self.old_end = beg + len(cur_c) - 1
 
         self.i += 1
+
+    def _apply_native(self, span, cons_c, cons_s, raw_cons_len) -> bool:
+        """Native fast path for apply (host.cpp stitch_apply_step):
+        arbitration + splice in one call.  Returns False to fall back
+        to the Python path (library unavailable)."""
+        from consent_tpu import native
+
+        cfg = self.cfg
+        i = self.i
+        counts = self.counts[i]
+        old = self.old_cons
+        use_old = i != 0 and old is not None
+        res = native.stitch_apply_native(
+            np.ascontiguousarray(self.out_c),
+            np.ascontiguousarray(self.out_s).view(np.uint8),
+            np.ascontiguousarray(cons_c),
+            np.ascontiguousarray(cons_s).view(np.uint8),
+            raw_cons_len,
+            (span.q_begin, span.q_end, span.r_begin, span.r_end),
+            self._al_pos, i, self.old_end if use_old else -(1 << 40),
+            np.ascontiguousarray(old[0]) if use_old else None,
+            np.ascontiguousarray(old[1]).view(np.uint8)
+            if use_old else None,
+            self.old_mers.kmers if use_old else None,
+            self.old_mers.counts if use_old else None,
+            counts.kmers, counts.counts,
+            cfg.mer_size, cfg.solid_thresh,
+            STITCH_SCORING, i < len(self.consensuses) - 1,
+        )
+        if res is None:
+            return False
+        new_c, new_s, cur_c, cur_s, new_old_end, tracked, spliced = res
+        if new_c is not None:
+            self.out_c = new_c
+            self.out_s = new_s.view(bool)
+        if spliced and tracked:
+            beg = span.r_begin + self._al_pos
+            end = span.r_end + self._al_pos
+            self.cur_pos = (
+                self.cur_pos
+                + self.piles_pos[i + 1][0]
+                - self.piles_pos[i][0]
+                - (end - beg + 1)
+                + spliced
+            )
+            self.old_cons = (cur_c, cur_s.view(bool))
+            self.old_mers = counts
+            self.old_end = new_old_end
+        self.i += 1
+        return True
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.out_c, self.out_s

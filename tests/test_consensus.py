@@ -312,3 +312,39 @@ def test_run_conservation_restores_homopolymer_indels():
         jax.tree.map(np.asarray, votes), tlen.tolist()
     )[0]
     assert seqs.decode(cons) == seqs.decode(truth[: len(cons)])
+
+
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_wire_assemble_out_matches_host_assembly(rounds):
+    """The production assemble_out wire (device-assembled, 2-bit
+    packed consensus download) must equal host-assembling the votes
+    wire and truncating to Lt."""
+    from consent_tpu.ops import consensus as cons_ops
+    from consent_tpu.ops.align import Scoring
+
+    frags, frag_len, tpl, tpl_len, d0 = _random_vote_inputs(31 + rounds)
+    B, W = tpl.shape
+    S = frags.shape[1]
+    sc = Scoring(max_hgap=16, band=128)
+    packed = cons_ops.pack_bases_host(frags)
+    buf = cons_ops.wire_encode_inputs(packed, frag_len, tpl, tpl_len, d0)
+
+    out_votes = cons_ops.consensus_votes_wire(
+        jnp.asarray(buf), S=S, Pb=frags.shape[2] // 4, Lt=W,
+        min_column_support=2, scoring=sc, rounds=rounds,
+    )
+    votes, w_len = cons_ops.wire_decode_votes(np.asarray(out_votes), W)
+    want = [
+        c[:W]
+        for c in cons_ops.assemble_consensus_batch(votes, w_len.tolist())
+    ]
+
+    out_cons = cons_ops.consensus_votes_wire(
+        jnp.asarray(buf), S=S, Pb=frags.shape[2] // 4, Lt=W,
+        min_column_support=2, scoring=sc, rounds=rounds,
+        assemble_out=True,
+    )
+    got = cons_ops.wire_decode_cons(np.asarray(out_cons), W)
+    assert len(got) == len(want)
+    for b, (g, w) in enumerate(zip(got, want)):
+        assert np.array_equal(g, w), f"window {b}"

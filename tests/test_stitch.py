@@ -110,3 +110,82 @@ def test_two_windows_disagreeing_overlap_prefers_more_solid():
     codes, solid = job.result()
     # overlap kept from window 1 (more solid k-mers)
     assert seqs.decode(codes)[:20] == true[:20]
+
+
+def test_stitch_apply_native_matches_python(monkeypatch):
+    """The native stitch_apply_step must be byte-identical to the
+    Python apply across random jobs (arbitration branches included)."""
+    import numpy as np
+
+    from consent_tpu import native
+    from consent_tpu.config import correct_preset
+    from consent_tpu.core.sparse_counts import SparseCounts
+    from consent_tpu.pipeline import stitch as st
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    cfg = correct_preset(window_size=64, window_overlap=16)
+
+    def make_jobs():
+        jobs = []
+        for j in range(12):
+            raw = rng.integers(0, 4, int(rng.integers(150, 400))).astype(
+                np.uint8
+            )
+            n_win = int(rng.integers(2, 6))
+            pos, cons, tpls, counts = [], [], [], []
+            p = 0
+            for w in range(n_win):
+                beg = p
+                end = min(len(raw) - 1, beg + 63)
+                pos.append((beg, end))
+                p = beg + 48
+                piece = raw[beg : end + 1].copy()
+                # corrupt some bases so arbitration has disagreements
+                if len(piece) > 10:
+                    idx = rng.integers(0, len(piece),
+                                       max(1, len(piece) // 8))
+                    piece[idx] = (piece[idx] + 1) % 4
+                # occasionally a too-short consensus (template path)
+                if rng.random() < 0.2:
+                    cons.append(
+                        (piece[:3], np.ones(3, dtype=bool))
+                    )
+                else:
+                    cons.append(
+                        (piece,
+                         rng.random(len(piece)) < 0.8)
+                    )
+                tpls.append(raw[beg : end + 1])
+                dense = np.zeros(4 ** cfg.mer_size, np.int32)
+                km = rng.integers(0, 4 ** cfg.mer_size,
+                                  rng.integers(5, 60))
+                np.add.at(dense, km, rng.integers(1, 10, len(km)))
+                counts.append(SparseCounts.from_dense(dense))
+            jobs.append(
+                st.StitchJob(
+                    name=f"j{j}", raw_codes=raw, piles_pos=pos,
+                    consensuses=cons, templates=tpls, counts=counts,
+                    cfg=cfg,
+                )
+            )
+        return jobs
+
+    rng = np.random.default_rng(9)
+    jobs_a = make_jobs()
+    rng = np.random.default_rng(9)
+    jobs_b = make_jobs()
+
+    st.run_stitch(jobs_a, st.host_batch_align)  # native apply path
+    monkeypatch.setattr(st.StitchJob, "_apply_native",
+                        lambda self, *a: False)
+    st.run_stitch(jobs_b, st.host_batch_align)  # pure Python path
+
+    for a, b in zip(jobs_a, jobs_b):
+        ca, sa = a.result()
+        cb, sb = b.result()
+        assert np.array_equal(ca, cb), a.name
+        assert np.array_equal(sa, sb), a.name
