@@ -70,12 +70,17 @@ def main(genome_len, coverage, read_len, error_rate, out_path):
 
     # ---- warmup: compile the steady-state executables (first
     # execution per shape costs minutes through the compile tunnel;
-    # production runs amortize it, a benchmark run must not time it)
+    # production runs amortize it, a benchmark run must not time it).
+    # Two passes: a full chunk (the max_b executables per bucket) and
+    # a tiny one (the per-bucket tail shape) — the engine's batch
+    # sizes come from exactly that two-point set per bucket.
     warm = min(len(piles), 520)
     tw = time.perf_counter()
     for _ in engine.process_piles(iter(piles[:warm]), index, cfg):
         pass
-    print(f"[warmup] {warm} piles ({time.perf_counter()-tw:.1f}s, "
+    for _ in engine.process_piles(iter(piles[:3]), index, cfg):
+        pass
+    print(f"[warmup] {warm}+3 piles ({time.perf_counter()-tw:.1f}s, "
           f"excluded)", file=sys.stderr)
     GLOBAL_STATS.seconds.clear()
     GLOBAL_STATS.counts.clear()

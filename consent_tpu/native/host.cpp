@@ -844,7 +844,34 @@ int64_t host_post_batch(
         const int64_t nt = count_kmers_touched(
             frag_blob, lens + f0, offsets + f0, n_frags, k,
             dense.data(), touched.data());
-        std::sort(touched.begin(), touched.begin() + nt);
+        // keys are 2k-bit (k <= 15); LSD radix in 10-bit digits is
+        // ~10x std::sort at the typical ~10k distinct k-mers/window
+        // (the sort was the single largest slice of the host post)
+        {
+            static thread_local std::vector<int64_t> tmp;
+            if ((int64_t)tmp.size() < nt) tmp.resize(nt);
+            int digits = (2 * k + 9) / 10;
+            int32_t cnt10[1024];
+            int64_t* src = touched.data();
+            int64_t* dst = tmp.data();
+            for (int d = 0; d < digits; d++) {
+                memset(cnt10, 0, sizeof(cnt10));
+                const int sh = 10 * d;
+                for (int64_t i = 0; i < nt; i++)
+                    cnt10[(src[i] >> sh) & 1023]++;
+                int32_t pos = 0;
+                for (int b = 0; b < 1024; b++) {
+                    int32_t c = cnt10[b];
+                    cnt10[b] = pos;
+                    pos += c;
+                }
+                for (int64_t i = 0; i < nt; i++)
+                    dst[cnt10[(src[i] >> sh) & 1023]++] = src[i];
+                std::swap(src, dst);
+            }
+            if (src != touched.data())
+                memcpy(touched.data(), src, nt * sizeof(int64_t));
+        }
         if (keys_pos + nt > keys_cap) return -1;
         for (int64_t i = 0; i < nt; i++) {
             keys_out[keys_pos + i] = touched[i];

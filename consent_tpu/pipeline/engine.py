@@ -197,20 +197,18 @@ class ConsensusEngine:
         return max(d, min(self.max_lanes // S, MAX_B) // d * d)
 
     def _pad_b(self, n: int, max_b: int) -> int:
-        """Window-batch sizes come from a tiny fixed set so every
-        (B, S) shape hits a cached executable — ragged shapes otherwise
-        trigger minutes-long compiles — and every device gets an equal
-        shard.  Production batches (>= 32 windows) all pad to max_b:
-        ONE executable per fragment bucket on the hot path, tail
-        batches included (the padding compute is orders of magnitude
-        cheaper than compiling another shape)."""
+        """Window-batch sizes come from a TWO-point set per fragment
+        bucket — {tail_b, max_b} — so at most two executables exist
+        per (bucket, HLO) pair.  Ragged or laddered shapes each
+        trigger a minutes-long compile through the tunnel, and tail
+        batches (one per bucket per chunk) land on fresh sizes all
+        run long, silently billing compiles to the steady state; the
+        padding compute for a tiny tail is microseconds."""
         d = self.n_devices // self.frag_devices
-        if n >= min(32, max_b):
-            return max_b
-        b = 1
-        while d * b < n:
-            b *= 2
-        return d * b
+        tail_b = min(d * -(-16 // d), max_b)  # >= 16, divisible by d
+        if n <= tail_b:
+            return tail_b
+        return max_b
 
     def _build_arrays(self, ts, S):
         cfg = self.cfg
@@ -459,7 +457,11 @@ def process_piles(
     read_index,
     cfg: ConsentConfig,
     batch_align=None,
-    chunk_reads: int = 512,
+    # 1024 reads/chunk halves the stitcher's lockstep device calls
+    # (each lockstep round is one latency-bound tunnel round trip;
+    # lanes cap at MAX_LANES_PER_CALL anyway) and fills consensus
+    # batches with fewer tails; ~150 MB of piles in flight
+    chunk_reads: int = 1024,
 ) -> Iterator[Tuple[str, np.ndarray, np.ndarray]]:
     """Full pipeline over a pile stream.
 
