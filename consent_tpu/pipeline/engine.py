@@ -151,41 +151,48 @@ class ConsensusEngine:
                 jobs.append((ts[lo : lo + max_b], S))
 
         rounds = max(1, self.cfg.consensus_rounds)
-        pending = []
-        for sub, S in jobs:
-            with STATS.timer("consensus.build_batch", len(sub)):
-                arrays = self._build_arrays(sub, S)
-            frags, frag_len, frag_d0, tpl, tpl_len = arrays
-            dev = self._dispatch(S, frags, frag_len, frag_d0, tpl,
-                                 tpl_len, rounds)
-            pending.append([sub, S, tpl_len, dev])
-        # Per-job chains (fetch -> assemble -> redispatch/post) are
+        # Per-job chains (upload+dispatch -> fetch -> host post) are
         # independent; fanning them over the "chain" pool overlaps
-        # each job's device-fetch latency with other jobs' host work —
-        # the fetch round trip, not device throughput, dominates the
-        # wall otherwise.  The inner window fan-out runs on the
-        # separate "work" pool (see utils/hostpool.py on nesting).
+        # each job's UPLOAD and fetch latency with other jobs' device
+        # compute and host work — a serial dispatch loop would pay
+        # every upload round trip back-to-back before any fetch
+        # starts.  Batch building stays on the caller thread (numpy
+        # under the GIL anyway); everything device-facing runs in the
+        # chain.  The inner window fan-out runs on the separate
+        # "work" pool (see utils/hostpool.py on nesting).
         from consent_tpu.utils.hostpool import host_pool
 
-        # chains spend most of their time BLOCKED on the device fetch
-        # (GIL released), so the chain pool exceeds the core count —
-        # more in-flight fetches, same CPU footprint
+        # chains spend most of their time BLOCKED on transfers (GIL
+        # released), so the chain pool exceeds the core count — more
+        # in-flight transfers, same CPU footprint
         import os as _os
 
         n_chain = max(4, self.cfg.n_workers or _os.cpu_count() or 1)
         pool = host_pool(n_chain, kind="chain")
-        if pool is not None and len(pending) > 1:
-            list(pool.map(lambda p: self._job_chain(*p), pending))
-        else:
-            for p in pending:
-                self._job_chain(*p)
+        futs = []
+        for sub, S in jobs:
+            with STATS.timer("consensus.build_batch", len(sub)):
+                arrays = self._build_arrays(sub, S)
+            if pool is not None and len(jobs) > 1:
+                futs.append(
+                    pool.submit(self._job_chain, sub, S, arrays,
+                                rounds)
+                )
+            else:
+                self._job_chain(sub, S, arrays, rounds)
+        for f in futs:
+            f.result()
 
-    def _job_chain(self, sub, S, tpl_len, dev):
-        """One fetch -> host post per batch: the refinement rounds AND
-        the final consensus assembly already ran fused inside the
-        dispatch — the download is the 2-bit-packed consensus (~170
-        bytes/window instead of ~4.5 KB of votes on the latency-bound
-        tunnel link)."""
+    def _job_chain(self, sub, S, arrays, rounds):
+        """Upload+dispatch -> one fetch -> host post per batch: the
+        refinement rounds AND the final consensus assembly run fused
+        inside the dispatch — the download is the 2-bit-packed
+        consensus (~170 bytes/window instead of ~4.5 KB of votes on
+        the latency-bound tunnel link)."""
+        frags, frag_len, frag_d0, tpl, tpl_len = arrays
+        with STATS.timer("consensus.dispatch", len(sub)):
+            dev = self._dispatch(S, frags, frag_len, frag_d0, tpl,
+                                 tpl_len, rounds)
         with STATS.timer("consensus.device_votes", len(sub)):
             cons_list = self._fetch_cons(dev, tpl_len)
         self._host_post(sub, S, cons_list)
@@ -476,10 +483,11 @@ def process_piles(
 
     chunk: List[Pile] = []
 
-    def consensus_stage(chunk: List[Pile]):
-        """Chunk stage 1: window geometry + device consensus + host
-        post.  Returns per_read task lists; runs on the pipeline
-        thread so chunk k+1's consensus overlaps chunk k's stitch."""
+    def geometry_stage(chunk: List[Pile]):
+        """Chunk stage 0: window geometry (pure host).  Its own
+        pipeline slot so chunk k+2's geometry overlaps chunk k+1's
+        device consensus — ~2-3 s per chunk otherwise sits serially
+        ahead of the first dispatch."""
         from consent_tpu.utils.hostpool import host_pool
 
         all_tasks: List[WindowTask] = []
@@ -504,6 +512,11 @@ def process_piles(
                 if tasks:
                     all_tasks.extend(tasks)
         STATS.add("windows.total", len(all_tasks))
+        return per_read, all_tasks
+
+    def consensus_stage(geo):
+        """Chunk stage 1: device consensus + host post."""
+        per_read, all_tasks = geo
         engine.run(all_tasks)
         return per_read
 
@@ -560,16 +573,38 @@ def process_piles(
         if buf:
             yield buf
 
+    # three-slot software pipeline over chunks:
+    #   geometry(k+2)  ||  consensus(k+1)  ||  stitch(k)
+    # Two background threads; output order is unchanged because
+    # chunks are consumed and yielded in order.
     it = chunks()
     first = next(it, None)
     if first is None:
         return
-    with ThreadPoolExecutor(max_workers=1) as pipe:
-        fut = pipe.submit(consensus_stage, first)
+    with ThreadPoolExecutor(max_workers=1) as geo_pipe, \
+            ThreadPoolExecutor(max_workers=1) as cons_pipe:
         cur = first
-        for nxt in it:
-            per_read = fut.result()
-            fut = pipe.submit(consensus_stage, nxt)
+        geo_fut = geo_pipe.submit(geometry_stage, cur)
+        nxt = next(it, None)
+        nxt_geo_fut = (
+            geo_pipe.submit(geometry_stage, nxt)
+            if nxt is not None else None
+        )
+        cons_fut = cons_pipe.submit(consensus_stage, geo_fut.result())
+        while True:
+            per_read = cons_fut.result()
+            if nxt_geo_fut is not None:
+                following = next(it, None)
+                geo_next = nxt_geo_fut.result()
+                nxt_geo_fut = (
+                    geo_pipe.submit(geometry_stage, following)
+                    if following is not None else None
+                )
+                cons_fut = cons_pipe.submit(consensus_stage, geo_next)
+            else:
+                following = None
+                cons_fut = None
             yield from stitch_stage(cur, per_read)
-            cur = nxt
-        yield from stitch_stage(cur, fut.result())
+            if cons_fut is None:
+                return
+            cur, nxt = nxt, following
