@@ -97,12 +97,14 @@ def main(coverage, read_len, error_rate, draft_err, out_path):
     print(f"[overlap] {len(piles)} piles ({t_overlap:.1f}s)",
           file=sys.stderr)
 
-    # ---- warmup (compile executables; excluded like e2e_bench)
-    warm = piles[: min(4, len(piles))]
+    # ---- warmup (compile executables; excluded like e2e_bench).
+    # A FULL pass: deep-pile bucket/tail shapes appear throughout the
+    # contig set, and any shape missed here would bill a minutes-long
+    # tunnel compile to the timed region.
     tw = time.perf_counter()
-    for _ in engine.process_piles(iter(warm), index, cfg):
+    for _ in engine.process_piles(iter(piles), index, cfg):
         pass
-    print(f"[warmup] {len(warm)} piles "
+    print(f"[warmup] {len(piles)} piles "
           f"({time.perf_counter() - tw:.1f}s, excluded)", file=sys.stderr)
     GLOBAL_STATS.seconds.clear()
     GLOBAL_STATS.counts.clear()

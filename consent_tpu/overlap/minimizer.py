@@ -300,10 +300,13 @@ def all_vs_all_piles(
     with ThreadPoolExecutor(max_workers=nw) as pool:
         # bounded in-flight window: order-preserving AND memory-
         # bounded (an eager pool.map would buffer every pile when the
-        # consumer lags)
+        # consumer lags).  The window is deep (~2 pipeline chunks of
+        # piles, ~300 MB peak) so overlap mapping keeps running in
+        # the pool while the downstream pipeline chews on a chunk —
+        # overlap and correction overlap end-to-end in the CLI.
         it = iter(reads)
         futs: collections.deque = collections.deque()
-        for item in list(__import__("itertools").islice(it, nw * 4)):
+        for item in list(__import__("itertools").islice(it, 2048)):
             futs.append(pool.submit(pile_of, item))
         while futs:
             p = futs.popleft().result()
@@ -349,12 +352,40 @@ def map_to_targets_piles(
         "w", suffix=".paf.tag", delete=False, dir=tmpdir
     )
     sorted_path = tagged.name + ".sorted"
+
+    def mapped(item):
+        name, codes = item
+        return map_query(index, name, codes, skip_self=False)
+
+    def all_mapped():
+        """Per-read mapping fanned over a thread pool, order kept
+        (the numpy joins release the GIL — minimap2's -t analogue,
+        like all_vs_all_piles)."""
+        nw = os.cpu_count() or 1
+        if nw <= 1 or len(reads) < 8:
+            for item in reads:
+                yield mapped(item)
+            return
+        import collections
+        import itertools
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            it = iter(reads)
+            futs: collections.deque = collections.deque()
+            for item in list(itertools.islice(it, nw * 8)):
+                futs.append(pool.submit(mapped, item))
+            while futs:
+                rows = futs.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futs.append(pool.submit(mapped, nxt))
+                yield rows
+
     try:
         with tagged as out:
-            for name, codes in reads:
-                for q_name, t_name, row in map_query(
-                    index, name, codes, skip_self=False
-                ):
+            for read_rows in all_mapped():
+                for q_name, t_name, row in read_rows:
                     # swap query<->target so the contig becomes the
                     # query; ends exclusive in PAF text (parse_line
                     # re-derives the inclusive convention)
