@@ -95,3 +95,61 @@ def test_map_to_targets_contig_is_query():
     assert p.q_name == "contig1"
     assert p.q_len == len(genome)
     assert len(p) > len(reads) * 0.7
+
+
+def test_rc_kmers_bit_trick_matches_recompute():
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 600).astype(np.uint8)
+    for k in (9, 15, 21, 31):
+        fwd = mz._kmers_u64(codes, k)
+        rc = mz._rc_kmers_u64(fwd, k)
+        want = mz._kmers_u64(seqs.revcomp(codes), k)[::-1]
+        assert np.array_equal(rc, want), k
+
+
+def test_block_mapping_equals_per_query():
+    genome, reads = simulate.simulate(
+        genome_len=20_000, coverage=8.0, read_len=2000,
+        error_rate=0.08, seed=13,
+    )
+    named = [(r.name, r.codes) for r in reads]
+    index = mz.MinimizerIndex(mz.OverlapParams())
+    for nm, c in named:
+        index.add(nm, c)
+    index.build()
+    block = mz.map_block_arrays(index, named, skip_self=True)
+    assert len(block) == len(named)
+    n_some = 0
+    for (nm, c), m in zip(named, block):
+        one = mz.map_query_arrays(index, nm, c, skip_self=True)
+        if m is None:
+            assert one is None
+            continue
+        n_some += 1
+        for key in m:
+            if key == "q_len":
+                assert m[key] == one[key]
+            else:
+                assert np.array_equal(m[key], one[key]), (nm, key)
+    assert n_some > len(named) // 2
+
+
+def test_join_matches_searchsorted():
+    rng = np.random.default_rng(2)
+    genome, reads = simulate.simulate(
+        genome_len=15_000, coverage=6.0, read_len=1500,
+        error_rate=0.08, seed=4,
+    )
+    index = mz.MinimizerIndex(mz.OverlapParams())
+    for r in reads:
+        index.add(r.name, r.codes)
+    index.build()
+    qh = np.concatenate([
+        index.h[rng.integers(0, len(index.h), 200)],
+        rng.integers(0, 2 ** 63, 200).astype(np.uint64),
+    ])
+    lo, hi = index.join(qh)
+    want_lo = np.searchsorted(index.h, qh, side="left")
+    want_hi = np.searchsorted(index.h, qh, side="right")
+    assert np.array_equal(lo, want_lo)
+    assert np.array_equal(hi, want_hi)
