@@ -84,11 +84,15 @@ def main():
 
     import functools
 
+    from consent_tpu.config import correct_preset
+
+    WARM = correct_preset().warm_frac   # production warm-round depth
+
     @functools.partial(jax.jit, static_argnames=("rounds",))
     def fused(fr, rounds):
         v, w_len = cons_ops.consensus_votes_rounds(
             fr, fl_d, tpl_d, tl_d, S=S, rounds=rounds,
-            min_column_support=2, scoring=scoring,
+            min_column_support=2, scoring=scoring, warm_frac=WARM,
         )
         return v, w_len
 

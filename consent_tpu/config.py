@@ -65,6 +65,17 @@ class ConsentConfig:
     # 0.9931 (3), so the default is 2; drop to 1 for ~2x window
     # throughput at ~1.3pp identity cost.
     consensus_rounds: int = 2
+    # Fragment-slot fraction used by the WARM refinement rounds (all
+    # rounds except the last).  The warm rounds only produce the next
+    # round's template; the engine fills slots best-match-first, so a
+    # fraction < 1 realigns just the top fragments while the FINAL
+    # vote round keeps full depth.  Refpoint decision matrix
+    # (scratch/warm_matrix.py, read-level identity, PB 10% / ONT 12%):
+    #   rounds=2 warm=1.0: 0.9767 / 0.9807
+    #   rounds=2 warm=0.5: 0.9769 / 0.9806   <- free throughput
+    #   rounds=1:          0.9723 / 0.9715   (-0.5 / -0.9 pp)
+    # The e2e gates (test_e2e.py) hold under 0.5.  1.0 = disabled.
+    warm_frac: float = 0.5
     # Horizontal-gap cap for the consensus aligner (0 = exact); longer
     # template deletions route through mismatches and are repaired by
     # the DBG stage.  Shrinks the kernel's per-row scan.

@@ -24,15 +24,20 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB],
-            check=True, capture_output=True,
-        )
-        return True
-    except Exception:
-        return False
+    # -march=native: the library is always compiled on the host that
+    # runs it (first-use build); fall back to plain -O3 for toolchains
+    # that reject the flag
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
+                 _SRC, "-o", _LIB],
+                check=True, capture_output=True,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -123,6 +128,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p,
         ]
         lib.stitch_apply_step.restype = None
+        lib.posterior_spans_batch.argtypes = [
+            u8p, i64p, i64p, u8p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p,
+        ]
+        lib.posterior_spans_batch.restype = None
+        upp = np.ctypeslib.ndpointer(np.uintp, flags="C_CONTIGUOUS")
+        lib.stitch_apply_round.argtypes = [
+            ctypes.c_int64,
+            upp, upp, upp, upp, upp, upp, upp, upp, upp, upp,
+            i64p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, i64p, u8p, u8p, i64p, i64p,
+        ]
+        lib.stitch_apply_round.restype = None
         _lib = lib
         return _lib
 
@@ -443,3 +464,34 @@ def local_align_native(q, r, match=2, mismatch=-2, gap_open=3, gap_extend=1):
     (res.opt, res.q_begin, res.q_end, res.r_begin, res.r_end,
      res.n_ins, res.n_del) = (int(x) for x in out)
     return res
+
+
+def posterior_spans_native(qs, rs, match, mismatch, gap_open,
+                           gap_extend):
+    """Batched posterior-span local alignment (the device stitch
+    aligner's exact span contract: union bounding box of matched cells
+    over all optimal local alignments).  qs/rs: lists of uint8 code
+    arrays.  Returns an [n, 5] int32 array (qb, qe, rb, re, valid) or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qs)
+    q_len = np.fromiter((len(q) for q in qs), np.int64, n)
+    r_len = np.fromiter((len(r) for r in rs), np.int64, n)
+    q_off = np.zeros(n, np.int64)
+    np.cumsum(q_len[:-1], out=q_off[1:] if n > 1 else q_off[:0])
+    r_off = np.zeros(n, np.int64)
+    np.cumsum(r_len[:-1], out=r_off[1:] if n > 1 else r_off[:0])
+    qbuf = (np.concatenate(qs).astype(np.uint8, copy=False)
+            if n else np.empty(0, np.uint8))
+    rbuf = (np.concatenate(rs).astype(np.uint8, copy=False)
+            if n else np.empty(0, np.uint8))
+    qbuf = np.ascontiguousarray(qbuf)
+    rbuf = np.ascontiguousarray(rbuf)
+    out = np.empty((n, 5), np.int32)
+    lib.posterior_spans_batch(
+        qbuf, q_off, q_len, rbuf, r_off, r_len, n,
+        match, mismatch, gap_open, gap_extend, out.reshape(-1),
+    )
+    return out

@@ -791,6 +791,68 @@ int64_t host_post_window(
                              out_codes, out_solid, out_cap);
 }
 
+// Fused single-sweep variant of count_kmers_touched + count_anchors:
+// one pass over the fragment k-mer stream feeds the global dense
+// table AND the per-sequence exactly-once bookkeeping the anchor gate
+// needs (count_anchors alone re-streamed every fragment twice — it
+// was ~a third of the non-DBG host post).  Bit-equal outputs.
+static int64_t count_kmers_touched_anchors(
+    const uint8_t* codes, const int64_t* lens, const int64_t* offsets,
+    int64_t n_seqs, int k, int support,
+    int32_t* dense /* 4^k, zeroed */, int64_t* touched,
+    int64_t* n_anchors_out) {
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int64_t table_n = (int64_t)1 << (2 * k);
+    static thread_local std::vector<int32_t> gen, occ, share, sgen;
+    static thread_local int32_t generation = 0;
+    static thread_local std::vector<int64_t> tpl_unique;
+    if ((int64_t)gen.size() != table_n) {
+        gen.assign(table_n, -1);
+        occ.assign(table_n, 0);
+        share.assign(table_n, 0);
+        sgen.assign(table_n, -1);
+        generation = 0;
+    }
+    tpl_unique.clear();
+    const int32_t sg = generation;
+    int64_t nt = 0;
+    for (int64_t f = 0; f < n_seqs; f++) {
+        generation++;
+        const uint8_t* s = codes + offsets[f];
+        const int64_t n = lens[f];
+        if (n < k) continue;
+        uint64_t km = 0;
+        for (int i = 0; i < k - 1; i++) km = (km << 2) | s[i];
+        for (int64_t i = k - 1; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            if (dense[km]++ == 0) touched[nt++] = (int64_t)km;
+            if (gen[km] != generation) {
+                gen[km] = generation;
+                occ[km] = 0;
+            }
+            occ[km]++;
+        }
+        // distinct exactly-once k-mers of this sequence
+        km = 0;
+        for (int i = 0; i < k - 1; i++) km = (km << 2) | s[i];
+        for (int64_t i = k - 1; i < n; i++) {
+            km = ((km << 2) | s[i]) & mask;
+            if (occ[km] == 1) {
+                if (sgen[km] != sg) { sgen[km] = sg; share[km] = 0; }
+                share[km]++;
+                occ[km] = -1;  // each distinct k-mer once per seq
+                if (f == 0) tpl_unique.push_back((int64_t)km);
+            }
+        }
+    }
+    generation++;  // keep share-generations disjoint across calls
+    int64_t n_anchors = 0;
+    for (int64_t km : tpl_unique)
+        if (share[km] >= support) n_anchors++;
+    *n_anchors_out = n_anchors;
+    return nt;
+}
+
 // Batched host post chain: MANY windows per ctypes call.  The
 // per-window Python/numpy/ctypes glue around host_post_window (1 MB
 // dense-table zeroing, per-window blob concatenation, np.sort of the
@@ -841,9 +903,10 @@ int64_t host_post_batch(
         for (int64_t f = f0; f < f1; f++)
             if (lens[f] >= k) t_cap += lens[f] - k + 1;
         if ((int64_t)touched.size() < t_cap) touched.resize(t_cap);
-        const int64_t nt = count_kmers_touched(
+        int64_t n_anch = 0;
+        const int64_t nt = count_kmers_touched_anchors(
             frag_blob, lens + f0, offsets + f0, n_frags, k,
-            dense.data(), touched.data());
+            bmean_sup[w], dense.data(), touched.data(), &n_anch);
         // keys are 2k-bit (k <= 15); LSD radix in 10-bit digits is
         // ~10x std::sort at the typical ~10k distinct k-mers/window
         // (the sort was the single largest slice of the host post)
@@ -880,9 +943,6 @@ int64_t host_post_batch(
         keys_pos += nt;
         keys_off[w + 1] = keys_pos;
 
-        const int64_t n_anch = count_anchors(
-            frag_blob, lens + f0, offsets + f0, n_frags, k,
-            bmean_sup[w]);
         int64_t n = -1;
         if (n_anch < min_anchors) {
             // template fallback, all-solid (correctionMSA.cpp:31-36)
@@ -983,3 +1043,229 @@ int64_t assemble_windows(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched posterior-span local alignment (host fast path for the
+// stitcher at small lane counts).
+//
+// Bit-equal to the device aligner's span contract — the union bounding
+// box of matched cells over ALL optimal local alignments
+// (ops/align.py posterior_summary + summary_spans at max_hgap=0,
+// band=0, the stitch scoring): cell (i, j) is matched iff
+// fwd_match(i, j) + bwd_cont(i+1, j+1) == opt.  The reference reads
+// the same span fields off SSW (correctionAlignment.cpp:91-93); tie
+// behavior there is unspecified, ours is the deterministic union box
+// on every backend.
+//
+// Per-row int16 state mirrors the XLA recurrence exactly (values
+// never leave int16 range by construction, so int32 intermediates for
+// the gap scans are value-equal).
+
+extern "C" {
+
+static void posterior_spans_one(
+    const uint8_t* q, int lq, const uint8_t* r, int lr,
+    int match, int mismatch, int open_, int ext,
+    int16_t* hm_all,                       // [lq * lr] scratch
+    int16_t* row6,                         // [6 * lr] scratch
+    int32_t* out5) {
+    const int16_t NEGV = -16384;           // ops/align.py NEG
+    if (lq == 0 || lr == 0) {
+        out5[0] = 0; out5[1] = -1; out5[2] = 0; out5[3] = -1;
+        out5[4] = 0;
+        return;
+    }
+    int16_t* h_prev = row6;
+    int16_t* h_cur = row6 + lr;
+    int16_t* f_prev = row6 + 2 * lr;
+    int16_t* f_cur = row6 + 3 * lr;
+    for (int j = 0; j < lr; j++) { h_prev[j] = 0; f_prev[j] = NEGV; }
+    const int16_t m16 = (int16_t)match, x16 = (int16_t)mismatch;
+    int32_t opt = 0;
+    for (int i = 0; i < lq; i++) {
+        int16_t* __restrict__ hm = hm_all + (int64_t)i * lr;
+        int16_t* __restrict__ hp = h_prev;
+        int16_t* __restrict__ fp = f_prev;
+        int16_t* __restrict__ hc = h_cur;
+        int16_t* __restrict__ fc = f_cur;
+        const uint8_t qc = q[i];
+        // hm[j] = H[i-1][j-1] + sub(i, j); f/ht vector-friendly
+        hm[0] = (qc == r[0]) ? m16 : x16;
+        for (int j = 1; j < lr; j++)
+            hm[j] = (int16_t)(hp[j - 1] + ((qc == r[j]) ? m16 : x16));
+        int16_t row_max = NEGV;
+        for (int j = 0; j < lr; j++) {
+            int16_t fv = std::max<int16_t>(
+                (int16_t)(hp[j] - open_), (int16_t)(fp[j] - ext));
+            fc[j] = fv;
+            hc[j] = std::max<int16_t>(std::max<int16_t>(hm[j], fv), 0);
+            row_max = std::max(row_max, hm[j]);
+        }
+        if (row_max > opt) opt = row_max;
+        // E(j) = max_{k<j}(ht(k) - (j-1-k)*ext) - open, via the decayed
+        // running max dm(j+1) = max(ht(j), dm(j) - ext).  Value-equal
+        // to the XLA prefix-max form: the NEG-seed branch differs by
+        // ext but stays < 0 while ht >= 0 always wins the max.
+        int16_t dm = NEGV;
+        for (int j = 0; j < lr; j++) {
+            int16_t ht = hc[j];
+            int16_t e = (int16_t)(dm - open_);
+            if (e > ht) hc[j] = e;
+            dm = std::max<int16_t>((int16_t)(dm - ext), ht);
+        }
+        std::swap(h_prev, h_cur);
+        std::swap(f_prev, f_cur);
+    }
+    if (opt <= 0) {
+        out5[0] = 0; out5[1] = -1; out5[2] = 0; out5[3] = -1;
+        out5[4] = 0;
+        return;
+    }
+    // backward + streaming box reduction
+    int16_t* bh_prev = row6;               // row i+1
+    int16_t* bh_cur = row6 + lr;
+    int16_t* bf_prev = row6 + 2 * lr;
+    int16_t* bf_cur = row6 + 3 * lr;
+    int16_t* bt = row6 + 4 * lr;
+    for (int j = 0; j < lr; j++) { bh_prev[j] = 0; bf_prev[j] = NEGV; }
+    const int16_t opt16 = (int16_t)opt;
+    int qb = lq, qe = -1, rb = lr, re = -1;
+    const int16_t ma16 = (int16_t)match, mi16 = (int16_t)mismatch;
+    for (int i = lq - 1; i >= 0; i--) {
+        const int16_t* __restrict__ hm = hm_all + (int64_t)i * lr;
+        int16_t* __restrict__ bhp = bh_prev;
+        int16_t* __restrict__ bfp = bf_prev;
+        int16_t* __restrict__ bhc = bh_cur;
+        int16_t* __restrict__ bfc = bf_cur;
+        int16_t* __restrict__ btr = bt;
+        const uint8_t qc = q[i];
+        int any = 0;
+        for (int j = 0; j < lr - 1; j++)
+            any |= (hm[j] > NEGV / 2) &&
+                   ((int16_t)(hm[j] + bhp[j + 1]) == opt16);
+        any |= (hm[lr - 1] > NEGV / 2) && (hm[lr - 1] == opt16);
+        if (any) {
+            for (int j = 0; j < lr; j++) {
+                int16_t bhd = (j + 1 < lr) ? bhp[j + 1] : (int16_t)0;
+                if (hm[j] > NEGV / 2 &&
+                    (int16_t)(hm[j] + bhd) == opt16) {
+                    if (i < qb) qb = i;
+                    if (i > qe) qe = i;
+                    if (j < rb) rb = j;
+                    if (j > re) re = j;
+                }
+            }
+        }
+        for (int j = 0; j < lr - 1; j++) {
+            int16_t bm = (int16_t)(((qc == r[j]) ? ma16 : mi16)
+                                   + bhp[j + 1]);
+            int16_t bfv = std::max<int16_t>(
+                (int16_t)(bhp[j] - open_), (int16_t)(bfp[j] - ext));
+            bfc[j] = bfv;
+            btr[j] = std::max<int16_t>(std::max<int16_t>(bm, bfv), 0);
+        }
+        {
+            int j = lr - 1;
+            int16_t bm = (qc == r[j]) ? ma16 : mi16;
+            int16_t bfv = std::max<int16_t>(
+                (int16_t)(bhp[j] - open_), (int16_t)(bfp[j] - ext));
+            bfc[j] = bfv;
+            btr[j] = std::max<int16_t>(std::max<int16_t>(bm, bfv), 0);
+        }
+        // bE(j) = max_{k>j}(bt(k) - (k-1-j)*ext) - open (decayed
+        // suffix max; NEG-seed discrepancy vs the XLA form is < 0 and
+        // never beats bt >= 0, as in the forward scan)
+        int16_t dm = NEGV;
+        for (int j = lr - 1; j >= 0; j--) {
+            int16_t btv = btr[j];
+            int16_t be = (int16_t)(dm - open_);
+            bhc[j] = be > btv ? be : btv;
+            dm = std::max<int16_t>((int16_t)(dm - ext), btv);
+        }
+        std::swap(bh_prev, bh_cur);
+        std::swap(bf_prev, bf_cur);
+    }
+    if (qe < 0) {
+        out5[0] = 0; out5[1] = -1; out5[2] = 0; out5[3] = -1;
+        out5[4] = 0;
+    } else {
+        out5[0] = qb; out5[1] = qe; out5[2] = rb; out5[3] = re;
+        out5[4] = 1;
+    }
+}
+
+void posterior_spans_batch(
+    const uint8_t* qbuf, const int64_t* q_off, const int64_t* q_len,
+    const uint8_t* rbuf, const int64_t* r_off, const int64_t* r_len,
+    int64_t n_pairs, int match, int mismatch, int gap_open,
+    int gap_ext, int32_t* out /* n_pairs x 5 */) {
+    int max_lq = 0, max_lr = 0;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        if (q_len[p] > max_lq) max_lq = (int)q_len[p];
+        if (r_len[p] > max_lr) max_lr = (int)r_len[p];
+    }
+    std::vector<int16_t> hm((int64_t)max_lq * max_lr);
+    std::vector<int16_t> rows((int64_t)6 * std::max(max_lr, 1));
+    for (int64_t p = 0; p < n_pairs; p++) {
+        posterior_spans_one(
+            qbuf + q_off[p], (int)q_len[p], rbuf + r_off[p],
+            (int)r_len[p], match, mismatch, gap_open, gap_ext,
+            hm.data(), rows.data(), out + 5 * p);
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-round batched stitch apply: one ctypes call applies EVERY live
+// job's window splice (stitch_apply_step per job, parameters unpacked
+// from pointer/scalar arrays).  The per-window Python/ctypes glue
+// around stitch_apply_step (~15 argument conversions per call) was the
+// stitch.apply stage's dominant cost (VERDICT r4 #6); here the glue is
+// paid once per round and the loop runs GIL-free.
+//
+// scal: [n, 15] row-major int64 per job:
+//   0 cur_len  1 cons_n  2 raw_cons_len  3 q_begin  4 q_end
+//   5 r_begin  6 r_end   7 al_pos        8 i_window 9 old_end
+//   10 has_old 11 old_len 12 n_old       13 n_cur   14 track_old
+// Arena offsets give each job's private output capacity; meta[j*5..]
+// is stitch_apply_step's out_meta (meta[j*5] == -1 on capacity
+// overflow for that job only).
+
+extern "C" void stitch_apply_round(
+    int64_t n,
+    const uint8_t* const* out_c_ptrs, const uint8_t* const* out_s_ptrs,
+    const uint8_t* const* cons_c_ptrs,
+    const uint8_t* const* cons_s_ptrs,
+    const uint8_t* const* old_c_ptrs, const uint8_t* const* old_s_ptrs,
+    const int64_t* const* old_keys_ptrs,
+    const int32_t* const* old_vals_ptrs,
+    const int64_t* const* cur_keys_ptrs,
+    const int32_t* const* cur_vals_ptrs,
+    const int64_t* scal,
+    int k, int solid_thresh,
+    int match, int mismatch, int gap_open, int gap_ext,
+    uint8_t* out_arena, uint8_t* outs_arena,
+    const int64_t* out_arena_off,
+    uint8_t* cur_arena, uint8_t* curs_arena,
+    const int64_t* cur_arena_off,
+    int64_t* meta) {
+    for (int64_t j = 0; j < n; j++) {
+        const int64_t* s = scal + j * 15;
+        stitch_apply_step(
+            out_c_ptrs[j], out_s_ptrs[j], s[0],
+            cons_c_ptrs[j], cons_s_ptrs[j], s[1], s[2],
+            s[3], s[4], s[5], s[6],
+            s[7], s[8], s[9],
+            old_c_ptrs[j], old_s_ptrs[j], s[11], s[10],
+            old_keys_ptrs[j], old_vals_ptrs[j], s[12],
+            cur_keys_ptrs[j], cur_vals_ptrs[j], s[13],
+            k, solid_thresh, match, mismatch, gap_open, gap_ext,
+            s[14],
+            out_arena + out_arena_off[j], outs_arena + out_arena_off[j],
+            out_arena_off[j + 1] - out_arena_off[j],
+            cur_arena + cur_arena_off[j], curs_arena + cur_arena_off[j],
+            cur_arena_off[j + 1] - cur_arena_off[j],
+            meta + j * 5);
+    }
+}

@@ -390,17 +390,50 @@ def assemble_template_device(
 
     # position t belongs to column j(t) = #{j : e[b,j] <= t}; e is
     # non-decreasing so the one-hot of j(t) is the edge of the
-    # comparison mask along j — no gather, no scatter, pure
-    # compare/select/reduce over [B, Lt, W] (XLA fuses the producers
-    # into the reductions; nothing O(B*Lt*W) is materialized)
+    # comparison mask along j — no gather, no scatter.
+    #
+    # Difference-weight form: sum_j v_j * onehot_j(t)
+    #   = sum_j (v_j - v_{j+1}) * [t < e_j]      (v_W := 0)
+    # because [t < e_j] is non-decreasing in j.  The multiply-reduce
+    # over W rides the MXU as an int8 dot product: each int32
+    # difference channel splits into signed base-256 digits, the
+    # [B, Lt, W] {0,1} mask contracts against [B, W, 7] digit planes
+    # in ONE int8->int32 dot_general (exact: digit sums are bounded by
+    # W * 128 < 2^16 and the base-256 recombination wraps int32 to the
+    # true in-range value).  The VPU-reduce form of this epilogue was
+    # ~2 ms/dispatch — a quarter of the whole fused-rounds dispatch.
     t3 = jnp.arange(Lt, dtype=jnp.int32)[None, :, None]   # [1, Lt, 1]
-    cmp = e[:, None, :] <= t3                             # [B, Lt, W]
-    cmp_prev = jnp.concatenate(
-        [jnp.ones((B, Lt, 1), bool), cmp[:, :, :-1]], axis=2
+    mask8 = (t3 < e[:, None, :]).astype(jnp.int8)         # [B, Lt, W]
+
+    def digits8(v32, n):
+        """[B, W] int32 -> [B, W, n] signed base-256 digits."""
+        outs = []
+        v = v32
+        for _ in range(n):
+            lo = ((v + 128) & 255) - 128
+            outs.append(lo.astype(jnp.int8))
+            v = (v - lo) >> 8
+        return jnp.stack(outs, axis=-1)
+
+    def diff_w(v32):  # D_j = v_j - v_{j+1}, v_W := 0
+        return v32 - jnp.concatenate(
+            [v32[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+
+    planes = jnp.concatenate(
+        [digits8(diff_w(meta), 3), digits8(diff_w(ins_pack), 4)],
+        axis=-1,
+    )                                                     # [B, W, 7]
+    sel = jax.lax.dot_general(
+        mask8, planes,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                     # [B, Lt, 7]
+    meta_sel = sel[..., 0] + (sel[..., 1] << 8) + (sel[..., 2] << 16)
+    ip_sel = (
+        sel[..., 3] + (sel[..., 4] << 8) + (sel[..., 5] << 16)
+        + (sel[..., 6] << 24)
     )
-    onehot = (cmp_prev & ~cmp).astype(jnp.int32)
-    meta_sel = jnp.sum(meta[:, None, :] * onehot, axis=2)  # [B, Lt]
-    ip_sel = jnp.sum(ins_pack[:, None, :] * onehot, axis=2)
 
     tt = jnp.arange(Lt, dtype=jnp.int32)[None, :]
     in_pre = tt < pre[:, None]
@@ -429,20 +462,54 @@ def assemble_template_device(
 
 def consensus_votes_rounds(
     frags, frag_len, tpl, tpl_len, *, S, rounds, min_column_support,
-    scoring, frag_d0=None, axis_name=None,
+    scoring, frag_d0=None, axis_name=None, warm_frac: float = 1.0,
 ):
     """`rounds` refinement rounds fused into one device computation:
     each round's consensus is assembled ON DEVICE
     (assemble_template_device) and becomes the next round's template.
     Returns (final WindowVotes, final template lengths [B]) — the host
-    assembles the final consensus once from the returned votes."""
+    assembles the final consensus once from the returned votes.
+
+    warm_frac < 1 runs the WARM rounds (all but the last) on only the
+    top ceil(S * warm_frac) fragment slots — the engine fills slots
+    best-match-first, and a warm round's sole product is the next
+    template, so trimming its depth trades almost no accuracy for a
+    proportional cut of its alignment kernel (config.warm_frac).
+    With the slot axis sharded (axis_name set) the warm cut is applied
+    by zeroing the lengths of global slots >= Sw instead of slicing —
+    bit-identical votes (empty slots contribute nothing to any
+    reduction), with the global slot index derived from the shard's
+    axis position; the kernel still runs all local lanes there."""
+    import math
+
     Lt = tpl.shape[1]
     for _ in range(max(1, rounds) - 1):
-        v = consensus_votes(
-            frags, frag_len, tpl, tpl_len, S=S,
-            min_column_support=min_column_support, scoring=scoring,
-            frag_d0=frag_d0, axis_name=axis_name,
-        )
+        if warm_frac < 1.0 and axis_name is None:
+            Sw = max(2, min(S, math.ceil(S * warm_frac)))
+            v = consensus_votes(
+                frags[:, :Sw], frag_len[:, :Sw], tpl, tpl_len, S=Sw,
+                min_column_support=min_column_support, scoring=scoring,
+                frag_d0=None if frag_d0 is None else frag_d0[:, :Sw],
+                axis_name=axis_name,
+            )
+        elif warm_frac < 1.0:
+            n_shards = jax.lax.psum(1, axis_name)
+            S_global = S * n_shards
+            Sw = max(2, min(S_global, math.ceil(S_global * warm_frac)))
+            slot = (jax.lax.axis_index(axis_name) * S
+                    + jnp.arange(S))[None, :]
+            fl_warm = jnp.where(slot < Sw, frag_len, 0)
+            v = consensus_votes(
+                frags, fl_warm, tpl, tpl_len, S=S,
+                min_column_support=min_column_support, scoring=scoring,
+                frag_d0=frag_d0, axis_name=axis_name,
+            )
+        else:
+            v = consensus_votes(
+                frags, frag_len, tpl, tpl_len, S=S,
+                min_column_support=min_column_support, scoring=scoring,
+                frag_d0=frag_d0, axis_name=axis_name,
+            )
         tpl, tpl_len = assemble_template_device(v, tpl_len, Lt)
     v = consensus_votes(
         frags, frag_len, tpl, tpl_len, S=S,
@@ -604,7 +671,7 @@ def pack_bases_device(codes: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("S", "Pb", "Lt", "min_column_support", "scoring",
-                     "axis_name", "rounds", "assemble_out"),
+                     "axis_name", "rounds", "assemble_out", "warm_frac"),
 )
 def consensus_votes_wire(
     buf: jnp.ndarray,  # [B, S*Pb + 4S + Lt + 4 + 4S] uint8
@@ -617,6 +684,7 @@ def consensus_votes_wire(
     axis_name: str | None = None,
     rounds: int = 1,
     assemble_out: bool = False,
+    warm_frac: float = 1.0,
 ) -> jnp.ndarray:      # [B, 7*Lt + 20] u8, or [B, Lt//4 + 4] assembled
     """All `rounds` refinement rounds in ONE dispatch (the round-1
     consensus is assembled on device and realigned against; see
@@ -645,7 +713,7 @@ def consensus_votes_wire(
         frags, frag_len, tpl, tpl_len, S=S, rounds=rounds,
         min_column_support=min_column_support, scoring=scoring,
         frag_d0=frag_d0 if scoring.band else None,
-        axis_name=axis_name,
+        axis_name=axis_name, warm_frac=warm_frac,
     )
 
     def u8_32(x):  # int32[...] -> uint8[..., flattened bytes]

@@ -77,6 +77,7 @@ def sharded_votes_fn(
     frags_packed: bool = False,
     rounds: int = 1,
     assemble_out: bool = False,
+    warm_frac: float = 1.0,
 ):
     """jit(shard_map(consensus_votes)) over the mesh.
 
@@ -108,6 +109,7 @@ def sharded_votes_fn(
                 scoring=scoring,
                 frag_d0=frag_d0,
                 axis_name=axis_name,
+                warm_frac=warm_frac,
             )
             if assemble_out:
                 # votes are full reductions (psum'd over frag), so
@@ -175,12 +177,13 @@ def sharded_votes_fn(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
-                     rounds, assemble_out=False):
+                     rounds, assemble_out=False, warm_frac=1.0):
     def body(buf):
         return cons_ops.consensus_votes_wire(
             buf, S=S, Pb=Pb, Lt=Lt,
             min_column_support=min_column_support, scoring=scoring,
             rounds=rounds, assemble_out=assemble_out,
+            warm_frac=warm_frac,
         )
 
     fn = jax.shard_map(
@@ -191,14 +194,15 @@ def _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
 
 
 def sharded_wire_step(mesh, buf, *, S, Pb, Lt, min_column_support,
-                      scoring, rounds=1, assemble_out=False):
+                      scoring, rounds=1, assemble_out=False,
+                      warm_frac=1.0):
     """Wire-format consensus step sharded over the `data` mesh axis
     (the engine's production path: one upload + one download buffer
     per call, split over all local devices; all refinement rounds
     fused into the one dispatch, and with assemble_out the download
     is just the packed assembled consensus)."""
     fn = _sharded_wire_fn(mesh, S, Pb, Lt, min_column_support, scoring,
-                          rounds, assemble_out)
+                          rounds, assemble_out, warm_frac)
     return fn(jax.device_put(buf, NamedSharding(mesh, P("data", None))))
 
 
@@ -217,6 +221,7 @@ def sharded_consensus_step(
     frags_packed: bool = False,
     rounds: int = 1,
     assemble_out: bool = False,
+    warm_frac: float = 1.0,
 ):
     """One device-parallel consensus step: window batch split over
     `data`, fragment slots over `frag` (vote reductions become
@@ -228,7 +233,7 @@ def sharded_consensus_step(
     2-bit-packed assembled consensus + lengths instead of votes."""
     fn = sharded_votes_fn(
         mesh, S, min_column_support, scoring, frag_d0 is not None,
-        packed, frags_packed, rounds, assemble_out,
+        packed, frags_packed, rounds, assemble_out, warm_frac,
     )
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     frag = "frag" if axes.get("frag", 1) > 1 else None

@@ -95,24 +95,83 @@ def device_batch_align(qs: List[np.ndarray], rs: List[np.ndarray],
     lengths round up to the batch maxima."""
     out: List[AlignSpan] = []
     for lo in range(0, len(qs), MAX_LANES_PER_CALL):
-        out.extend(_one_call(qs[lo : lo + MAX_LANES_PER_CALL],
-                             rs[lo : lo + MAX_LANES_PER_CALL], fixed_len,
-                             mesh))
+        out.extend(_collect(_dispatch_one(
+            qs[lo : lo + MAX_LANES_PER_CALL],
+            rs[lo : lo + MAX_LANES_PER_CALL], fixed_len, mesh)))
     return out
+
+
+# at or below this lane count a device stitch round is pure tunnel
+# latency; the native host path (posterior_spans_batch, bit-equal
+# contract) wins outright AND frees the device for the consensus
+# stage.  Tunable for experiments (polish_bench sweeps it).
+NATIVE_MAX_LANES = 8
+
+
+class FixedAligner:
+    """Stitch aligner with shapes pinned for one pipeline config.
+
+    Exposes the async protocol run_stitch uses to interleave job
+    groups (dispatch returns immediately; collect blocks on the
+    fetch), so several groups' device rounds overlap their tunnel
+    round trips.  Tiny batches route to the native host aligner
+    (same span contract, no tunnel trip)."""
+
+    def __init__(self, cfg, mesh: Optional[Mesh] = None):
+        self.fixed_len = _round_up(
+            max(cfg.window_size + 2 * cfg.window_overlap,
+                cfg.window_size + cfg.frag_slack),
+            128,
+        )
+        self.mesh = mesh
+
+    def _native(self, qs, rs):
+        if jax.default_backend() == "cpu":
+            return None     # CPU XLA is fine; keep paths deterministic
+        from consent_tpu import native
+        from consent_tpu.pipeline.stitch import STITCH_SCORING
+
+        out = native.posterior_spans_native(qs, rs, **STITCH_SCORING)
+        if out is None:
+            return None
+        return [
+            AlignSpan(int(out[i, 0]), int(out[i, 1]), int(out[i, 2]),
+                      int(out[i, 3]), bool(out[i, 4]))
+            for i in range(len(qs))
+        ]
+
+    def dispatch(self, qs, rs):
+        if len(qs) <= NATIVE_MAX_LANES:
+            spans = self._native(qs, rs)
+            if spans is not None:
+                return ("done", spans)
+        assert len(qs) <= MAX_LANES_PER_CALL
+        return ("dev", _dispatch_one(qs, rs, self.fixed_len, self.mesh))
+
+    def collect(self, handle):
+        kind, payload = handle
+        if kind == "done":
+            return payload
+        return _collect(payload)
+
+    def __call__(self, qs, rs):
+        out: List[AlignSpan] = []
+        for lo in range(0, len(qs), MAX_LANES_PER_CALL):
+            out.extend(self.collect(self.dispatch(
+                qs[lo : lo + MAX_LANES_PER_CALL],
+                rs[lo : lo + MAX_LANES_PER_CALL])))
+        return out
 
 
 def make_fixed_aligner(cfg, mesh: Optional[Mesh] = None) -> "BatchAlignFn":
     """Aligner with shapes pinned for one pipeline config (and sharded
     over the engine's data mesh when given)."""
-    L = _round_up(
-        max(cfg.window_size + 2 * cfg.window_overlap,
-            cfg.window_size + cfg.frag_slack),
-        128,
-    )
-    return functools.partial(device_batch_align, fixed_len=L, mesh=mesh)
+    return FixedAligner(cfg, mesh=mesh)
 
 
-def _one_call(qs, rs, fixed_len=None, mesh=None):
+def _dispatch_one(qs, rs, fixed_len=None, mesh=None):
+    """Asynchronously dispatch one batched span call; returns
+    (device_array, n) — np.asarray on the array blocks."""
     from consent_tpu.ops.consensus import pack_bases_host
 
     n = len(qs)
@@ -143,6 +202,11 @@ def _one_call(qs, rs, fixed_len=None, mesh=None):
         )
     else:
         dev = _spans_wire_body(jnp.asarray(buf), Lq=Lq, Lr=Lr)
+    return dev, n
+
+
+def _collect(handle):
+    dev, n = handle
     out = np.asarray(dev)
     return [
         AlignSpan(int(out[i, 0]), int(out[i, 1]), int(out[i, 2]),

@@ -260,7 +260,7 @@ class ConsensusEngine:
                 scoring=self.scoring,
                 frag_d0=frag_d0 if self.scoring.band else None,
                 packed=True, frags_packed=True, rounds=rounds,
-                assemble_out=True,
+                assemble_out=True, warm_frac=cfg.warm_frac,
             )
         buf = cons_ops.wire_encode_inputs(
             frags, frag_len, tpl, tpl_len, frag_d0
@@ -273,12 +273,13 @@ class ConsensusEngine:
                 self.mesh, buf, S=S, Pb=Pb, Lt=self.Lt,
                 min_column_support=cfg.min_column_support,
                 scoring=self.scoring, rounds=rounds,
-                assemble_out=True,
+                assemble_out=True, warm_frac=cfg.warm_frac,
             )
         return cons_ops.consensus_votes_wire(
             jnp.asarray(buf), S=S, Pb=Pb, Lt=self.Lt,
             min_column_support=cfg.min_column_support,
             scoring=self.scoring, rounds=rounds, assemble_out=True,
+            warm_frac=cfg.warm_frac,
         )
 
     def _fetch_cons(self, dev, tpl_len):

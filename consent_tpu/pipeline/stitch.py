@@ -275,30 +275,224 @@ def host_batch_align(qs: List[np.ndarray], rs: List[np.ndarray]
     return [host_align_span(q, r) for q, r in zip(qs, rs)]
 
 
+def _ptr_of(a) -> int:
+    return 0 if a is None else a.ctypes.data
+
+
+def _contig(a):
+    return a if a.flags["C_CONTIGUOUS"] else np.ascontiguousarray(a)
+
+
+def _apply_round_native(jobs: List[StitchJob],
+                        spans: List[AlignSpan]) -> bool:
+    """Apply one window for EVERY job in one native call
+    (host.cpp stitch_apply_round) — the per-window ctypes glue of
+    stitch_apply_native was ~85% of the apply stage.  Returns False
+    when the library is unavailable (callers fall back per-job)."""
+    from consent_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not jobs:
+        return lib is not None
+    cfg = jobs[0].cfg
+    k = cfg.mer_size
+    n = len(jobs)
+    scal = np.empty((n, 15), dtype=np.int64)
+    ptrs = np.zeros((10, n), dtype=np.uintp)
+    out_cap = np.empty(n + 1, dtype=np.int64)
+    cur_cap = np.empty(n + 1, dtype=np.int64)
+    keep = []   # (cons_c, cons_s, old refs) keep-alive for the call
+    for j, (job, sp) in enumerate(zip(jobs, spans)):
+        i = job.i
+        cons_c, cons_s = job._cur_cons
+        cons_c = _contig(cons_c)
+        cons_s = _contig(cons_s)
+        use_old = i != 0 and job.old_cons is not None
+        old_c = old_s = None
+        n_old = 0
+        if use_old:
+            old_c, old_s = job.old_cons
+            old_c = _contig(old_c)
+            old_s = _contig(old_s)
+            n_old = len(job.old_mers.kmers)
+        counts = job.counts[i]
+        scal[j] = (
+            len(job.out_c), len(cons_c),
+            len(job.consensuses[i][0]),
+            sp.q_begin, sp.q_end, sp.r_begin, sp.r_end,
+            job._al_pos, i,
+            job.old_end if use_old else -(1 << 40),
+            1 if use_old else 0,
+            len(old_c) if use_old else 0,
+            n_old, len(counts.kmers),
+            1 if i < len(job.consensuses) - 1 else 0,
+        )
+        ptrs[0, j] = job.out_c.ctypes.data
+        ptrs[1, j] = job.out_s.ctypes.data
+        ptrs[2, j] = cons_c.ctypes.data
+        ptrs[3, j] = cons_s.ctypes.data
+        ptrs[4, j] = _ptr_of(old_c)
+        ptrs[5, j] = _ptr_of(old_s)
+        ptrs[6, j] = _ptr_of(job.old_mers.kmers if use_old else None)
+        ptrs[7, j] = _ptr_of(job.old_mers.counts if use_old else None)
+        ptrs[8, j] = counts.kmers.ctypes.data
+        ptrs[9, j] = counts.counts.ctypes.data
+        out_cap[j] = len(job.out_c) + len(cons_c) + 16
+        cur_cap[j] = len(cons_c) + (len(old_c) if use_old else 0) + 16
+        keep.append((cons_c, cons_s, old_c, old_s))
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_cap[:n], out=out_off[1:])
+    cur_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cur_cap[:n], out=cur_off[1:])
+    out_arena = np.empty(int(out_off[n]), dtype=np.uint8)
+    outs_arena = np.empty(int(out_off[n]), dtype=np.uint8)
+    cur_arena = np.empty(int(cur_off[n]), dtype=np.uint8)
+    curs_arena = np.empty(int(cur_off[n]), dtype=np.uint8)
+    meta = np.empty((n, 5), dtype=np.int64)
+    lib.stitch_apply_round(
+        n, *(np.ascontiguousarray(ptrs[r]) for r in range(10)),
+        scal.reshape(-1),
+        cfg.mer_size, cfg.solid_thresh,
+        STITCH_SCORING["match"], STITCH_SCORING["mismatch"],
+        STITCH_SCORING["gap_open"], STITCH_SCORING["gap_extend"],
+        out_arena, outs_arena, out_off,
+        cur_arena, curs_arena, cur_off, meta.reshape(-1),
+    )
+    for j, (job, sp) in enumerate(zip(jobs, spans)):
+        new_len, spliced, new_old_end, tracked, modified = meta[j]
+        if new_len == -1:       # capacity overflow: per-job fallback
+            job.apply(sp)
+            continue
+        if modified:
+            o0 = int(out_off[j])
+            job.out_c = out_arena[o0 : o0 + new_len].copy()
+            job.out_s = outs_arena[o0 : o0 + new_len].copy().view(bool)
+        if spliced and tracked:
+            i = job.i
+            beg = sp.r_begin + job._al_pos
+            end = sp.r_end + job._al_pos
+            job.cur_pos = (
+                job.cur_pos
+                + job.piles_pos[i + 1][0]
+                - job.piles_pos[i][0]
+                - (end - beg + 1)
+                + spliced
+            )
+            c0 = int(cur_off[j])
+            job.old_cons = (
+                cur_arena[c0 : c0 + spliced].copy(),
+                curs_arena[c0 : c0 + spliced].copy().view(bool),
+            )
+            job.old_mers = job.counts[i]
+            job.old_end = int(new_old_end)
+        job.i += 1
+    return True
+
+
+def _apply_spans(live, spans, pool, STATS) -> List[StitchJob]:
+    from consent_tpu import native
+
+    with STATS.timer("stitch.apply", len(live)):
+        valid_jobs, valid_spans = [], []
+        if native.get_lib() is not None:
+            for j, s in zip(live, spans):
+                if s.valid:
+                    valid_jobs.append(j)
+                    valid_spans.append(s)
+                else:
+                    j.apply(s)      # skip-advance, no native work
+            if pool is not None and len(valid_jobs) >= 64:
+                # slice the round over the host pool: each worker
+                # makes ONE GIL-free native call for its slice
+                nw = pool._max_workers
+                step = max(1, -(-len(valid_jobs) // nw))
+                list(pool.map(
+                    lambda lo: _apply_round_native(
+                        valid_jobs[lo : lo + step],
+                        valid_spans[lo : lo + step]),
+                    range(0, len(valid_jobs), step)))
+            elif not _apply_round_native(valid_jobs, valid_spans):
+                for j, s in zip(valid_jobs, valid_spans):
+                    j.apply(s)
+        elif pool is not None and len(live) >= 8:
+            list(pool.map(lambda js: js[0].apply(js[1]),
+                          zip(live, spans)))
+        else:
+            for j, s in zip(live, spans):
+                j.apply(s)
+    return [j for j in live if not j.done]
+
+
 def run_stitch(jobs: List[StitchJob],
                batch_align: BatchAlignFn = host_batch_align) -> None:
-    """Drive many stitch jobs in lockstep: one batched alignment per
-    round, one window advanced per live job per round.  The per-job
-    apply step (independent numpy splices) fans out over the shared
-    --nproc host pool."""
+    """Drive many stitch jobs in lockstep rounds: one batched
+    alignment per round, one window advanced per live job per round.
+    The per-job apply step (independent numpy splices) fans out over
+    the shared --nproc host pool.
+
+    When the aligner exposes the async dispatch/collect protocol
+    (pipeline.device_align.FixedAligner), jobs split into interleaved
+    GROUPS whose rounds overlap: while one group's spans fetch back
+    over the latency-bound device link, the other groups' batches are
+    in flight and their applies run — the fix for small-population
+    stitches (assembly polishing has ~86 contigs, so lockstep rounds
+    ran nearly-empty device calls that were pure tunnel latency;
+    VERDICT r4 #1)."""
     from consent_tpu.utils.hostpool import host_pool
     from consent_tpu.utils.observe import GLOBAL_STATS as STATS
 
     pool = host_pool(jobs[0].cfg.n_workers) if jobs else None
     live = [j for j in jobs if not j.done]
-    while live:
+    dispatch = getattr(batch_align, "dispatch", None)
+    collect = getattr(batch_align, "collect", None)
+
+    if dispatch is None or len(live) < 8:
+        while live:
+            qs, rs = [], []
+            for j in live:
+                q, r = j.next_request()
+                qs.append(q)
+                rs.append(r)
+            with STATS.timer("stitch.align", len(live)):
+                spans = batch_align(qs, rs)
+            live = _apply_spans(live, spans, pool, STATS)
+        return
+
+    from consent_tpu.pipeline.device_align import MAX_LANES_PER_CALL
+
+    # group count: enough to hide the round trip, small enough that
+    # per-group batches stay meaty; cap so groups never exceed the
+    # per-call lane budget
+    G = max(2, min(4, len(live) // 8))
+    G = max(G, -(-len(live) // MAX_LANES_PER_CALL))
+    groups = [live[g::G] for g in range(G)]
+
+    def requests(members):
         qs, rs = [], []
-        for j in live:
+        for j in members:
             q, r = j.next_request()
             qs.append(q)
             rs.append(r)
-        with STATS.timer("stitch.align", len(live)):
-            spans = batch_align(qs, rs)
-        with STATS.timer("stitch.apply", len(live)):
-            if pool is not None and len(live) >= 8:
-                list(pool.map(lambda js: js[0].apply(js[1]),
-                              zip(live, spans)))
+        return qs, rs
+
+    handles: List[Optional[tuple]] = []
+    for g in range(G):
+        if groups[g]:
+            with STATS.timer("stitch.align", len(groups[g])):
+                handles.append(dispatch(*requests(groups[g])))
+        else:
+            handles.append(None)
+    n_open = sum(h is not None for h in handles)
+    while n_open:
+        for g in range(G):
+            if handles[g] is None:
+                continue
+            with STATS.timer("stitch.align", len(groups[g])):
+                spans = collect(handles[g])
+            groups[g] = _apply_spans(groups[g], spans, pool, STATS)
+            if groups[g]:
+                with STATS.timer("stitch.align", len(groups[g])):
+                    handles[g] = dispatch(*requests(groups[g]))
             else:
-                for j, s in zip(live, spans):
-                    j.apply(s)
-        live = [j for j in live if not j.done]
+                handles[g] = None
+                n_open -= 1

@@ -179,9 +179,12 @@ def test_stitch_apply_native_matches_python(monkeypatch):
     rng = np.random.default_rng(9)
     jobs_b = make_jobs()
 
-    st.run_stitch(jobs_a, st.host_batch_align)  # native apply path
-    monkeypatch.setattr(st.StitchJob, "_apply_native",
-                        lambda self, *a: False)
+    st.run_stitch(jobs_a, st.host_batch_align)  # batched native apply
+    # disable the native library entirely: the whole-round batched
+    # apply AND the per-window native step fall back to pure Python
+    from consent_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, "get_lib", lambda: None)
     st.run_stitch(jobs_b, st.host_batch_align)  # pure Python path
 
     for a, b in zip(jobs_a, jobs_b):
