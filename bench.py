@@ -32,7 +32,12 @@ def main():
 
     from consent_tpu.ops import consensus as cons_ops
 
-    B, S, W = 64, 16, 512
+    # B = the engine's PRODUCTION dispatch size for the S=16 bucket:
+    # engine._max_b(16) = min(device_lanes*n_devices // 16, MAX_B)
+    # = 256 at the default device_lanes=4096 on one chip.  (B=64, the
+    # pre-r5 bench shape, measures ~4% slower per window — the bench
+    # mirrors what the pipeline actually dispatches.)
+    B, S, W = 256, 16, 512
     Lf = W
     rng = np.random.default_rng(0)
     tpl = rng.integers(0, 4, (B, W)).astype(np.uint8)
@@ -116,14 +121,19 @@ def main():
         chain(1, frags_d, rounds)  # compile
         chain(4, frags_d, rounds)  # warm
         per_calls = []
-        for _ in range(3):  # repeated chain-slope measurements
+        for _ in range(5):  # repeated chain-slope measurements
+            # long chains (2 vs 10 calls, slope over the 8-call
+            # difference): the tunnel's per-dispatch latency jitter
+            # cancels in the difference and amortizes over 8 calls
+            # instead of 3 — the round-to-round spread through the
+            # access tunnel was ±20% with (1, 4)-call chains
             t0 = time.perf_counter()
-            chain(1, frags_d, rounds)
-            t1 = time.perf_counter() - t0
+            chain(2, frags_d, rounds)
+            t_short = time.perf_counter() - t0
             t0 = time.perf_counter()
-            chain(4, frags_d, rounds)
-            t4 = time.perf_counter() - t0
-            per_calls.append(max(1e-9, (t4 - t1) / 3))
+            chain(10, frags_d, rounds)
+            t_long = time.perf_counter() - t0
+            per_calls.append(max(1e-9, (t_long - t_short) / 8))
         return per_calls
 
     per_calls = slope(1)

@@ -102,6 +102,10 @@ def _cfg_from_args(args, correct: bool):
         window_overlap=args.windowOverlap,
         consensus_rounds=args.consensus_rounds,
         n_workers=args.nproc,
+        # indel-heavy ONT reads keep full-depth warm refinement
+        # rounds (the 0.25 default costs 0.15 pp there; decision
+        # matrix in config.py / benchmarks/warm_matrix.py)
+        warm_frac=0.5 if getattr(args, "type", "PB") == "ONT" else 0.25,
     )
 
 

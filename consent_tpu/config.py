@@ -70,12 +70,19 @@ class ConsentConfig:
     # round's template; the engine fills slots best-match-first, so a
     # fraction < 1 realigns just the top fragments while the FINAL
     # vote round keeps full depth.  Refpoint decision matrix
-    # (scratch/warm_matrix.py, read-level identity, PB 10% / ONT 12%):
-    #   rounds=2 warm=1.0: 0.9767 / 0.9807
-    #   rounds=2 warm=0.5: 0.9769 / 0.9806   <- free throughput
-    #   rounds=1:          0.9723 / 0.9715   (-0.5 / -0.9 pp)
-    # The e2e gates (test_e2e.py) hold under 0.5.  1.0 = disabled.
-    warm_frac: float = 0.5
+    # (benchmarks/warm_matrix.py, read-level identity at the
+    # reference's 500/50 windowing, 24 piles, PB 10% / ONT 12%
+    # indel-heavy; throughput from benchmarks/rounds2_sweep.py):
+    #   rounds=2 warm=1.0:  0.9965 / 0.9891   (6.6x baseline)
+    #   rounds=2 warm=0.5:  0.9969 / 0.9886   (8.4x)
+    #   rounds=2 warm=0.25: 0.9961 / 0.9876   (9.7x)  <- default
+    #   rounds=1:           -0.5 / -0.9 pp vs rounds=2
+    # 0.25 is accuracy-neutral on PB (within the matrix's 0.05-pp
+    # noise) and costs 0.15 pp on the indel-heavy ONT profile, so the
+    # CLI keeps warm_frac=0.5 for --type ONT (cli._cfg_from_args) the
+    # same way the reference specializes its overlapper per
+    # technology (CONSENT-correct:185-187).  1.0 = disabled.
+    warm_frac: float = 0.25
     # Horizontal-gap cap for the consensus aligner (0 = exact); longer
     # template deletions route through mismatches and are repaired by
     # the DBG stage.  Shrinks the kernel's per-row scan.

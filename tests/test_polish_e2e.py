@@ -54,3 +54,59 @@ def test_polishing_improves_assembly():
     print(f"draft {draft_id:.4f} -> polished {polished_id:.4f}")
     assert polished_id > draft_id
     assert polished_id > 0.99
+
+
+def test_polish_refpoint_windowing():
+    """Polish accuracy at the PRODUCTION windowing — the reference's
+    own polishing defaults (windowSize=500, windowOverlap=50,
+    minSupport=1; CONSENT-polish:44-50) over multiple contigs.  The
+    committed polish artifact (BENCH_E2E_POLISH.json) runs exactly
+    this configuration at assembly scale; this gate makes a polish
+    accuracy regression fail the suite instead of waiting for the
+    next benchmark rerun."""
+    rng = np.random.default_rng(11)
+    contigs, all_reads = [], []
+    ridx = 0
+    for c in range(3):
+        genome, reads = simulate.simulate(
+            genome_len=4000, coverage=12.0, read_len=1600,
+            error_rate=0.10, seed=100 + c,
+        )
+        draft, _ = simulate.mutate(genome, rng, 0.01)
+        contigs.append((f"ctg{c}", draft, genome))
+        for r in reads:
+            all_reads.append((f"r{ridx}", r.codes))
+            ridx += 1
+
+    cfg = polish_preset()  # the reference's 500/50 defaults
+    index = ReadIndex()
+    for name, draft, _ in contigs:
+        index.add(name, draft)
+    for name, codes in all_reads:
+        index.add(name, codes)
+
+    piles = list(
+        mz.map_to_targets_piles(
+            [(n, d) for n, d, _ in contigs], all_reads,
+            mz.OverlapParams(), cfg.max_support,
+        )
+    )
+    assert len(piles) == 3
+
+    results = {
+        name: codes
+        for name, codes, _ in engine.process_piles(
+            iter(piles), index, cfg, batch_align=host_batch_align
+        )
+    }
+    draft_ids, pol_ids = [], []
+    for name, draft, genome in contigs:
+        assert len(results[name]) > 0, "contig must not be dropped"
+        draft_ids.append(metrics.identity(draft, genome))
+        pol_ids.append(metrics.identity(results[name], genome))
+    d, p = float(np.mean(draft_ids)), float(np.mean(pol_ids))
+    print(f"refpoint polish draft {d:.4f} -> polished {p:.4f}")
+    assert p > d
+    # the committed artifact measures 0.996 at assembly scale; a 1-pp
+    # drop from the production operating point fails here
+    assert p > 0.99
