@@ -37,6 +37,21 @@ from consent_tpu.ops import align as align_ops
 
 INS_CAP = 16  # max insertion bases tracked per column boundary
 
+# Warm refinement rounds never realign fewer than this many fragment
+# slots, whatever warm_frac says: the intermediate template is voted
+# by these slots alone (template-first, best-match-first fill), and
+# below 5 voters the CLR indel noise leaks into the template faster
+# than the fraction saves kernel time.  Measured at the 10x e2e
+# workload (shallow ~10-fragment piles, S=16 bucket, 400 reads,
+# floor sweep recorded in PARITY.md): Sw=4 -> read identity 0.9831,
+# Sw=5 -> 0.9864, Sw=6 -> 0.9864, full warm -> 0.9866 — the floor of
+# 5 keeps warm_frac=0.25 accuracy-neutral on shallow piles as well as
+# deep ones, at rounds=2 throughput 10.0x the reference envelope
+# (bench.py).  Env override is for experiments only.
+import os as _os
+
+WARM_MIN_SLOTS = int(_os.environ.get("CONSENT_TPU_WARM_MIN", "5"))
+
 
 def _summary_dispatch(q, q_len, r, r_len, scoring, d0=None):
     """Fused Pallas kernel on TPU; XLA-scan elsewhere (CPU tests)."""
@@ -485,7 +500,7 @@ def consensus_votes_rounds(
     Lt = tpl.shape[1]
     for _ in range(max(1, rounds) - 1):
         if warm_frac < 1.0 and axis_name is None:
-            Sw = max(2, min(S, math.ceil(S * warm_frac)))
+            Sw = min(S, max(WARM_MIN_SLOTS, math.ceil(S * warm_frac)))
             v = consensus_votes(
                 frags[:, :Sw], frag_len[:, :Sw], tpl, tpl_len, S=Sw,
                 min_column_support=min_column_support, scoring=scoring,
@@ -495,7 +510,8 @@ def consensus_votes_rounds(
         elif warm_frac < 1.0:
             n_shards = jax.lax.psum(1, axis_name)
             S_global = S * n_shards
-            Sw = max(2, min(S_global, math.ceil(S_global * warm_frac)))
+            Sw = min(S_global,
+                     max(WARM_MIN_SLOTS, math.ceil(S_global * warm_frac)))
             slot = (jax.lax.axis_index(axis_name) * S
                     + jnp.arange(S))[None, :]
             fl_warm = jnp.where(slot < Sw, frag_len, 0)

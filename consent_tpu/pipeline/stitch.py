@@ -475,10 +475,12 @@ def run_stitch(jobs: List[StitchJob],
             rs.append(r)
         return qs, rs
 
+    # lane counts are billed at COLLECT only (dispatch timers pass 0)
+    # so stages["counts"]["stitch.align"] stays one-per-window
     handles: List[Optional[tuple]] = []
     for g in range(G):
         if groups[g]:
-            with STATS.timer("stitch.align", len(groups[g])):
+            with STATS.timer("stitch.align", 0):
                 handles.append(dispatch(*requests(groups[g])))
         else:
             handles.append(None)
@@ -491,7 +493,7 @@ def run_stitch(jobs: List[StitchJob],
                 spans = collect(handles[g])
             groups[g] = _apply_spans(groups[g], spans, pool, STATS)
             if groups[g]:
-                with STATS.timer("stitch.align", len(groups[g])):
+                with STATS.timer("stitch.align", 0):
                     handles[g] = dispatch(*requests(groups[g]))
             else:
                 handles[g] = None
